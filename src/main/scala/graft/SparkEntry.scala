@@ -1,13 +1,359 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 that is SQL-expressible is registered in
+  * `queries` with a DuckDB twin in `oracleSql` (column names and integer
+  * types aligned so the driver's sorted-column value hash matches).
+  * Non-SQL-expressible operators (politeness fetch stage, image invariants,
+  * snapshot resume, MinHash/SimHash/LSH) are registered rows-only and are
+  * additionally covered by ScalaTest specs with stronger assertions.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the golden crawl order of the canonical frontier on
+    * sf=0.001 (canonicalize → URL-seen dedup → priority order; SURVEY §3.4).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CrawlOps.crawlOrder(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- crawl frontier operators (SURVEY §2.2/2.3/2.5/2.6/2.9) ----
+    "q_canonicalize" -> ((s, d) => CrawlOps.canonicalized(s, d)
+      .select("url", "seq", "hosting_id", "unit_path")),
+    "q_frontier_dedup" -> ((s, d) => CrawlOps.frontierDedup(s, d)),
+    "q_crawl_order" -> ((s, d) => CrawlOps.crawlOrder(s, d)
+      .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("long"))),
+    "q_page_assign" -> ((s, d) => CrawlOps.pageAssign(s, d)
+      .withColumn("pos", org.apache.spark.sql.functions.col("pos").cast("long"))),
+    "q_politeness_schedule" -> ((s, d) => CrawlOps.politenessSchedule(s, d)
+      .withColumn("pos", org.apache.spark.sql.functions.col("pos").cast("long"))),
+    "q_url_seen_anti" -> ((s, d) => CrawlOps.urlSeenAnti(s, d)),
+    "q_robots_gate" -> ((s, d) => CrawlOps.robotsGate(s, d)),
+    "q_manifest_filter" -> ((s, d) => CrawlOps.manifestFilter(s, d)),
+    "q_license_join" -> ((s, d) => CrawlOps.licenseJoin(s, d)),
+    "q_image_dedup" -> ((s, d) => CrawlOps.imageDedup(s, d)),
+    "q_part_names" -> ((s, d) => CrawlOps.partNames(s, d)),
+    "q_validate" -> ((s, d) => CrawlOps.validate(s, d)),
+    // ---- relational anchors ----
+    "q1_pricing" -> ((s, d) => RelOps.q1PricingSummary(s, d)),
+    "q3_shipping" -> ((s, d) => RelOps.q3Shipping(s, d)),
+    "q5_region" -> ((s, d) => RelOps.q5Region(s, d)),
+    "q_event_windows" -> ((s, d) => RelOps.eventWindows(s, d)),
+    "q_sessionize" -> ((s, d) => RelOps.sessionize(s, d)),
+    // ---- training-data pipeline: text ----
+    "q_dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
+    "q_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
+    "q_quality" -> ((s, d) => TextOps.quality(s, d)),
+    "q_lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccard(s, d)),
+    // rows-only (no DuckDB oracle; covered by ScalaTest specs)
+    "q_minhash_lsh" -> ((s, d) => TextOps.minhashLsh(s, d)),
+    "q_simhash" -> ((s, d) => TextOps.simhash(s, d)),
+    "q_simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
+    // ---- training-data pipeline: vectors ----
+    "q_ann_cosine" -> ((s, d) => VectorOps.annBruteForce(s, d)),
+    "q_ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)) // rows-only
+  )
+
+  private val S = Seeds.seedsSql
+  private val C = Seeds.canonSql
+
+  def oracleSql: Map[String, String] = Map(
+    "q_canonicalize" ->
+      s"""WITH $S, $C
+         |SELECT s.url, s.seq, c.hosting_id, c.unit_path
+         |FROM seeds s JOIN canon c USING (seq)""".stripMargin,
+    "q_frontier_dedup" ->
+      s"""WITH $C
+         |SELECT unit_path, hosting_id, min(seq) AS first_seq, count(*) AS n_aliases
+         |FROM canon GROUP BY unit_path, hosting_id""".stripMargin,
+    "q_crawl_order" ->
+      s"""WITH $C,
+         |deduped AS (
+         |  SELECT unit_path, hosting_id, any_value(priority) AS priority,
+         |         min(seq) AS first_seq
+         |  FROM canon GROUP BY unit_path, hosting_id)
+         |SELECT row_number() OVER (ORDER BY priority, first_seq) AS rank,
+         |       priority, unit_path, hosting_id, first_seq
+         |FROM deduped""".stripMargin,
+    "q_page_assign" ->
+      s"""WITH $C,
+         |deduped AS (
+         |  SELECT unit_path, hosting_id, min(seq) AS first_seq
+         |  FROM canon GROUP BY unit_path, hosting_id),
+         |pol(hosting_id, min_interval_ms, page_size) AS (VALUES
+         |  ('thingiverse.com', 1000, 1), ('github.com', 5000, 10),
+         |  ('oshwa.org', 5000, 50), ('appropedia.org', 1000, 1),
+         |  ('gitlab.com', 5000, 10), ('codeberg.org', 5000, 10)),
+         |pos AS (
+         |  SELECT unit_path, hosting_id,
+         |         row_number() OVER (PARTITION BY hosting_id ORDER BY first_seq) AS pos
+         |  FROM deduped)
+         |SELECT p.unit_path, p.hosting_id, p.pos,
+         |       ((p.pos - 1) // pol.page_size) + 1 AS page
+         |FROM pos p JOIN pol USING (hosting_id)""".stripMargin,
+    "q_politeness_schedule" ->
+      s"""WITH $C,
+         |deduped AS (
+         |  SELECT unit_path, hosting_id, min(seq) AS first_seq
+         |  FROM canon GROUP BY unit_path, hosting_id),
+         |pol(hosting_id, min_interval_ms, page_size) AS (VALUES
+         |  ('thingiverse.com', 1000, 1), ('github.com', 5000, 10),
+         |  ('oshwa.org', 5000, 50), ('appropedia.org', 1000, 1),
+         |  ('gitlab.com', 5000, 10), ('codeberg.org', 5000, 10)),
+         |pos AS (
+         |  SELECT unit_path, hosting_id,
+         |         row_number() OVER (PARTITION BY hosting_id ORDER BY first_seq) AS pos
+         |  FROM deduped)
+         |SELECT p.unit_path, p.hosting_id, p.pos,
+         |       CAST((p.pos - 1) * pol.min_interval_ms AS BIGINT) AS scheduled_ms
+         |FROM pos p JOIN pol USING (hosting_id)""".stripMargin,
+    "q_url_seen_anti" ->
+      s"""WITH $C,
+         |deduped AS (
+         |  SELECT unit_path, hosting_id, min(seq) AS first_seq
+         |  FROM canon GROUP BY unit_path, hosting_id),
+         |seen AS (
+         |  SELECT CASE p_partkey % 3
+         |      WHEN 0 THEN 'thingiverse.com/' || CAST(p_partkey // 10000 AS VARCHAR) || '/' || p_partkey
+         |      WHEN 1 THEN 'github.com/owner' || (p_partkey % 10) || '/repo' || p_partkey || '/main/okh.toml'
+         |      ELSE 'oshwa.org/us' || lpad(CAST(p_partkey AS VARCHAR), 6, '0')
+         |    END AS unit_path
+         |  FROM part WHERE p_partkey % 7 = 0)
+         |SELECT d.unit_path, d.hosting_id, d.first_seq FROM deduped d
+         |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.unit_path = d.unit_path)""".stripMargin,
+    "q_robots_gate" ->
+      s"""WITH $C,
+         |deduped AS (
+         |  SELECT unit_path, hosting_id, min(seq) AS first_seq
+         |  FROM canon GROUP BY unit_path, hosting_id),
+         |rules(r_hosting_id, path_prefix) AS (VALUES
+         |  ('github.com', 'github.com/owner3/'),
+         |  ('thingiverse.com', 'thingiverse.com/0/9'),
+         |  ('oshwa.org', 'oshwa.org/us0001'))
+         |SELECT d.unit_path, d.hosting_id, d.first_seq FROM deduped d
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM rules r
+         |  WHERE d.hosting_id = r.r_hosting_id
+         |    AND starts_with(d.unit_path, r.path_prefix))""".stripMargin,
+    "q_manifest_filter" ->
+      """WITH names AS (
+        |  SELECT p_partkey AS k,
+        |    CASE p_partkey % 5
+        |      WHEN 0 THEN 'okh.toml' WHEN 1 THEN 'project.okh.yml'
+        |      WHEN 2 THEN 'readme.toml' WHEN 3 THEN 'okh-ventilator.yaml'
+        |      ELSE 'okh.txt' END AS file_name
+        |  FROM part)
+        |SELECT k, file_name FROM names
+        |WHERE regexp_matches(regexp_replace(file_name, '\.[^.]*$', ''),
+        |        '^(.+\.)?okh([_\-:.][0-9a-zA-Z:._\-]+)?$')
+        |  AND regexp_matches(regexp_extract(file_name, '(\.[^.]*)$', 1),
+        |        '^\.(json|toml|ya?ml)$')""".stripMargin,
+    "q_license_join" ->
+      """WITH dim(license_name, spdx) AS (VALUES
+        |  ('Creative Commons - Attribution', 'CC-BY-4.0'),
+        |  ('Creative Commons - Attribution - Share Alike', 'CC-BY-SA-4.0'),
+        |  ('Creative Commons - Attribution - No Derivatives', NULL),
+        |  ('Creative Commons - Attribution - Non-Commercial', NULL),
+        |  ('Creative Commons - Attribution - Non-Commercial - Share Alike', NULL),
+        |  ('Creative Commons - Attribution - Non-Commercial - No Derivatives', NULL),
+        |  ('Creative Commons - Share Alike', 'CC-BY-SA-4.0'),
+        |  ('Creative Commons - No Derivatives', NULL),
+        |  ('Creative Commons - Non-Commercial', NULL),
+        |  ('Creative Commons - Non Commercial - Share alike', NULL),
+        |  ('Creative Commons - Non Commercial - No Derivatives', NULL),
+        |  ('Creative Commons - Public Domain Dedication', 'CC0-1.0'),
+        |  ('Public Domain', 'CC0-1.0'),
+        |  ('GNU - GPL', 'GPL-3.0-or-later'),
+        |  ('GNU - LGPL', 'LGPL-3.0-or-later'),
+        |  ('BSD', 'BSD-4-Clause'), ('BSD License', 'BSD-4-Clause'),
+        |  ('Nokia', NULL), ('All Rights Reserved', NULL),
+        |  ('Other', NULL), ('None', NULL)),
+        |withl AS (
+        |  SELECT p_partkey AS k,
+        |    CASE p_partkey % 6
+        |      WHEN 0 THEN 'Creative Commons - Attribution'
+        |      WHEN 1 THEN 'GNU - GPL'
+        |      WHEN 2 THEN 'BSD'
+        |      WHEN 3 THEN 'All Rights Reserved'
+        |      WHEN 4 THEN 'Creative Commons - Public Domain Dedication'
+        |      ELSE 'Creative Commons - Attribution - Non-Commercial'
+        |    END AS license_name
+        |  FROM part)
+        |SELECT w.k, w.license_name, d.spdx, d.spdx IS NOT NULL AS is_open_source
+        |FROM withl w LEFT JOIN dim d USING (license_name)""".stripMargin,
+    "q_image_dedup" ->
+      """SELECT l_orderkey AS project_id,
+        |       'img://' || (l_partkey % 50) AS image_url,
+        |       min(CAST(l_linenumber AS BIGINT)) AS kept_seq,
+        |       count(*) AS n_dups
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_part_names" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS project_id, CAST(l_linenumber AS BIGINT) AS seq,
+        |         'part-' || (l_partkey % 5) AS name_clean
+        |  FROM lineitem),
+        |rn AS (
+        |  SELECT *, row_number() OVER (PARTITION BY project_id, name_clean ORDER BY seq) AS r
+        |  FROM li)
+        |SELECT project_id, seq, name_clean,
+        |       CASE WHEN r > 1 THEN name_clean || CAST(r - 1 AS VARCHAR) ELSE name_clean END AS name
+        |FROM rn""".stripMargin,
+    "q_validate" ->
+      """SELECT doc_id,
+        |  concat_ws(',',
+        |    CASE WHEN n_chars <= 0 THEN 'empty' END,
+        |    CASE WHEN n_chars > 100000 THEN 'too-long' END,
+        |    CASE WHEN lang NOT IN ('en','de','fr','es','it','pt','nl') THEN 'bad-lang' END,
+        |    CASE WHEN length(source) = 0 THEN 'no-source' END) AS reasons,
+        |  concat_ws(',',
+        |    CASE WHEN n_chars <= 0 THEN 'empty' END,
+        |    CASE WHEN n_chars > 100000 THEN 'too-long' END,
+        |    CASE WHEN lang NOT IN ('en','de','fr','es','it','pt','nl') THEN 'bad-lang' END,
+        |    CASE WHEN length(source) = 0 THEN 'no-source' END) = '' AS ok
+        |FROM documents""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l.l_orderkey, o.o_orderdate,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY revenue_cents DESC, l.l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_region" ->
+      """SELECT r.r_name, n.n_name,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |              OR date_diff('second', prev_ts, ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |x AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM s)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM documents""".stripMargin,
+    "q_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+        |  CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000.0 / length(text)) AS BIGINT) AS alpha_permille,
+        |  CAST(floor(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000.0 / length(text)) AS BIGINT) AS digit_permille,
+        |  CAST(floor((length(text)
+        |    - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |    - length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |    - length(regexp_replace(text, '[^ \t\n]', '', 'g'))) * 1000.0 / length(text)) AS BIGINT) AS punct_permille
+        |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    (length(lt) - length(replace(lt, ' the ', ''))) // 5
+        |      + (length(lt) - length(replace(lt, ' and ', ''))) // 5
+        |      + (length(lt) - length(replace(lt, ' is ', ''))) // 4 AS score_en,
+        |    (length(lt) - length(replace(lt, ' der ', ''))) // 5
+        |      + (length(lt) - length(replace(lt, ' und ', ''))) // 5
+        |      + (length(lt) - length(replace(lt, ' die ', ''))) // 5 AS score_de,
+        |    (length(lt) - length(replace(lt, ' le ', ''))) // 4
+        |      + (length(lt) - length(replace(lt, ' la ', ''))) // 4
+        |      + (length(lt) - length(replace(lt, ' et ', ''))) // 4 AS score_fr,
+        |    (length(lt) - length(replace(lt, ' el ', ''))) // 4
+        |      + (length(lt) - length(replace(lt, ' los ', ''))) // 5
+        |      + (length(lt) - length(replace(lt, ' una ', ''))) // 5 AS score_es
+        |  FROM t)
+        |SELECT doc_id, score_en, score_de, score_fr, score_es,
+        |  CASE
+        |    WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es AND score_en > 0 THEN 'en'
+        |    WHEN score_de >= score_fr AND score_de >= score_es AND score_de > 0 THEN 'de'
+        |    WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+        |    WHEN score_es > 0 THEN 'es'
+        |    ELSE 'und' END AS predicted_lang
+        |FROM sc""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(words) - 4),
+        |        i -> array_to_string(words[i:i+4], ' '))) AS shingle
+        |    FROM w WHERE len(words) >= 5)),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.inter,
+        |  CAST(floor(i.inter * 1000.0 / (sa.n_shingles + sb.n_shingles - i.inter)) AS BIGINT) AS jaccard_permille
+        |FROM inter i
+        |JOIN sizes sa ON i.doc_a = sa.doc_id
+        |JOIN sizes sb ON i.doc_b = sb.doc_id
+        |WHERE floor(i.inter * 1000.0 / (sa.n_shingles + sb.n_shingles - i.inter)) >= 100""".stripMargin,
+    "q_ann_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 20),
+        |sims AS (
+        |  SELECT q.qid, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.qemb, e.emb) AS sim
+        |  FROM q, e WHERE q.qid <> e.vec_id),
+        |ranked AS (
+        |  SELECT qid, neighbor_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM sims)
+        |SELECT qid, neighbor_id, rank FROM ranked WHERE rank <= 3""".stripMargin
+  )
 }

@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.UrlFunctions
+import graft.model.Predicates
+
+/** Frontier / scheduling operators of the crawl engine, each one an
+  * oracle-checkable Dataset transformation. These are the Spark-native
+  * re-expressions of the reference's fetcher dataflow (SURVEY.md §2):
+  * canonicalize → dedup (URL-seen) → priority order → page assignment →
+  * politeness schedule → robots gate.
+  *
+  * Scale notes (10^10 frontier): every operator keys on
+  * `url_hash`/`unit_path`, never on raw URLs; dedup is a hash aggregation
+  * (map-side partial) not a global sort; the ONLY global-ordering operator is
+  * `crawlOrder`, which exists to reproduce the reference's golden serial
+  * crawl order on verification samples (SURVEY §2.5 W1) — the production
+  * path uses `pageAssign`/`politenessSchedule`, which are per-host window
+  * computations that shuffle once on the host key and scale linearly.
+  */
+object CrawlOps {
+
+  /** Politeness constants per platform — the reference's hard-coded budget
+    * (BASELINE.md: thingiverse.py:293 sleep(1); github.py:219,233-234;
+    * oshwa.py:54,60). Broadcast dimension, joined on hosting_id.
+    */
+  val politeness: Seq[(String, Long, Int)] = Seq(
+    // (hosting_id, min_interval_ms, page_size)
+    ("thingiverse.com", 1000L, 1),
+    ("github.com", 5000L, 10),
+    ("oshwa.org", 5000L, 50),
+    ("appropedia.org", 1000L, 1),
+    ("gitlab.com", 5000L, 10),
+    ("codeberg.org", 5000L, 10)
+  )
+
+  def politenessDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    politeness.toDF("hosting_id", "min_interval_ms", "page_size")
+  }
+
+  /** Seed URLs → canonical units. Invalid URLs keep a parse_error instead of
+    * failing the task (reference yields FailedFetch events, event.py:13-17).
+    */
+  def canonicalized(spark: SparkSession, sfDir: String): DataFrame =
+    Seeds.seeds(spark, sfDir)
+      .withColumn("canon", UrlFunctions.canonicalize(col("url")))
+      .select(
+        col("url"), col("seq"),
+        col("canon.hosting_id").as("hosting_id"),
+        col("canon.unit_path").as("unit_path"),
+        col("canon.parse_error").as("parse_error"))
+
+  /** Deduped frontier: first-wins per canonical unit (URL-seen semantics,
+    * thingiverse.py:359-362 / A5 in SURVEY §2.4). Pure hash aggregation —
+    * partial aggregation map-side, no window, no sort; at 10^10 rows this is
+    * one shuffle on unit_path.
+    */
+  def frontierDedup(spark: SparkSession, sfDir: String): DataFrame =
+    canonicalized(spark, sfDir)
+      .filter(col("parse_error").isNull)
+      .groupBy(col("unit_path"), col("hosting_id"))
+      .agg(min("seq").as("first_seq"), count(lit(1)).as("n_aliases"))
+
+  /** Golden serial crawl order (SURVEY §2.5 W1): rank over
+    * (priority, first_seq). Global window — verification-sample only by
+    * design; order is data (priority/seq columns), never execution order.
+    */
+  def crawlOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = frontierDedup(spark, sfDir)
+      .withColumn("priority", UrlFunctions.hostPriority(col("hosting_id")))
+    deduped
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("priority"), col("first_seq"))))
+      .select(col("rank"), col("priority"), col("unit_path"), col("hosting_id"), col("first_seq"))
+  }
+
+  /** Per-host fetch position and page assignment (W3/W4: GitHub page =
+    * num_fetched // BATCH_SIZE + 1, github.py:382). Window partitioned by
+    * host — shuffles once on hosting_id; per-host ordering is exactly the
+    * politeness queue order the fetch stage consumes.
+    */
+  def pageAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("hosting_id")).orderBy(col("first_seq"))
+    frontierDedup(spark, sfDir)
+      .withColumn("pos", row_number().over(w))
+      .join(broadcast(politenessDf(spark)), Seq("hosting_id"))
+      .withColumn("page", ((col("pos") - 1) / col("page_size")).cast("long") + 1)
+      .select(col("unit_path"), col("hosting_id"), col("pos"), col("page"))
+  }
+
+  /** Politeness schedule: the deterministic earliest-start offset of each
+    * fetch under the per-host fixed-interval budget (rate_limit.py:37-50).
+    * scheduled_ms = (pos-1) * min_interval_ms.
+    */
+  def politenessSchedule(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("hosting_id")).orderBy(col("first_seq"))
+    frontierDedup(spark, sfDir)
+      .withColumn("pos", row_number().over(w))
+      .join(broadcast(politenessDf(spark)), Seq("hosting_id"))
+      .withColumn("scheduled_ms", (col("pos") - 1) * col("min_interval_ms"))
+      .select(col("unit_path"), col("hosting_id"), col("pos"), col("scheduled_ms"))
+  }
+
+  /** URL-seen anti-join (J6): drop units already fetched in a prior run.
+    * The "seen" set here is the deterministic fixture subset (every 7th
+    * part key); production path couples this with the per-partition Bloom
+    * pre-filter (graft.frontier.BloomSeen) so the exact anti-join only sees
+    * Bloom-positive candidates.
+    */
+  def urlSeenAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val seen = spark.read.parquet(s"$sfDir/part.parquet")
+      .filter(pmod(col("p_partkey"), lit(7)) === 0)
+      .select(col("p_partkey").as("k"))
+      .withColumn("unit_path",
+        when(pmod(col("k"), lit(3)) === 0,
+          concat(lit("thingiverse.com/"), (col("k") / 10000).cast("long").cast("string"),
+            lit("/"), col("k").cast("string")))
+          .when(pmod(col("k"), lit(3)) === 1,
+            concat(lit("github.com/owner"), pmod(col("k"), lit(10)).cast("string"),
+              lit("/repo"), col("k").cast("string"), lit("/main/okh.toml")))
+          .otherwise(concat(lit("oshwa.org/us"), lpad(col("k").cast("string"), 6, "0"))))
+      .select("unit_path")
+    frontierDedup(spark, sfDir)
+      .join(seen, Seq("unit_path"), "left_anti")
+      .select(col("unit_path"), col("hosting_id"), col("first_seq"))
+  }
+
+  /** Robots gate (R5, engine addition per the north rule): disallow rules
+    * as (hosting_id, path_prefix) — broadcast joined, prefix-matched, then
+    * anti-joined out. Output = allowed frontier.
+    */
+  val robotsRules: Seq[(String, String)] = Seq(
+    ("github.com", "github.com/owner3/"),
+    ("thingiverse.com", "thingiverse.com/0/9"),
+    ("oshwa.org", "oshwa.org/us0001")
+  )
+
+  def robotsGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rules = robotsRules.toDF("r_hosting_id", "path_prefix")
+    val frontier = frontierDedup(spark, sfDir)
+    val denied = frontier.join(broadcast(rules),
+      frontier("hosting_id") === rules("r_hosting_id") &&
+        frontier("unit_path").startsWith(rules("path_prefix")), "left_semi")
+    frontier.join(denied.select("unit_path"), Seq("unit_path"), "left_anti")
+      .select(col("unit_path"), col("hosting_id"), col("first_seq"))
+  }
+
+  /** Manifest-name predicate (P1, fetcher/util.py:26-32) applied to
+    * deterministic candidate file names. Kept as a builtin-regex filter so
+    * it is codegen'd and pushable.
+    */
+  def manifestFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_partkey").as("k"))
+      .withColumn("file_name",
+        element_at(
+          array(lit("okh.toml"), lit("project.okh.yml"), lit("readme.toml"),
+            lit("okh-ventilator.yaml"), lit("okh.txt")),
+          (pmod(col("k"), lit(5)) + 1).cast("int")))
+    val stem = regexp_replace(col("file_name"), "\\.[^.]*$", "")
+    val suffix = regexp_extract(col("file_name"), "(\\.[^.]*)$", 1)
+    names
+      .withColumn("stem", stem)
+      .withColumn("suffix", suffix)
+      .filter(col("stem").rlike(Predicates.ManifestNamePattern) &&
+        col("suffix").rlike(Predicates.ManifestSuffixPattern))
+      .select(col("k"), col("file_name"))
+  }
+
+  /** License resolution (J4): broadcast join of the Thingiverse license
+    * dimension (shared/thingiverse.py:19-41) against per-unit license names;
+    * open-source predicate = spdx IS NOT NULL (P6).
+    */
+  def licenseJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Predicates.ThingiverseLicenseToSpdx.toSeq
+      .map { case (name, spdx) => (name, spdx.orNull) }
+      .toDF("license_name", "spdx")
+    val licenseNames = Seq(
+      "Creative Commons - Attribution", "GNU - GPL", "BSD",
+      "All Rights Reserved", "Creative Commons - Public Domain Dedication",
+      "Creative Commons - Attribution - Non-Commercial")
+    val withLicense = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_partkey").as("k"))
+      .withColumn("license_name",
+        element_at(array(licenseNames.map(lit): _*), (pmod(col("k"), lit(6)) + 1).cast("int")))
+    withLicense.join(broadcast(dim), Seq("license_name"), "left_outer")
+      .withColumn("is_open_source", col("spdx").isNotNull)
+      .select(col("k"), col("license_name"), col("spdx"), col("is_open_source"))
+  }
+
+  /** First-wins image dedup per project (A5, normalizer/thingiverse.py:176-193):
+    * images keyed by URL within a project, first occurrence (by seq) wins.
+    * Derived from lineitem: project = l_orderkey, image URL bucket from
+    * l_partkey, seq = l_linenumber.
+    */
+  def imageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("project_id"),
+        concat(lit("img://"), pmod(col("l_partkey"), lit(50)).cast("string")).as("image_url"),
+        col("l_linenumber").cast("long").as("seq"))
+    li.groupBy(col("project_id"), col("image_url"))
+      .agg(min("seq").as("kept_seq"), count(lit(1)).as("n_dups"))
+  }
+
+  /** Unique part names (A6, dict_utils.py:136-145): clean-name collisions
+    * within a project get suffix 1,2,… in list order.
+    */
+  def partNames(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("project_id"),
+        col("l_linenumber").cast("long").as("seq"),
+        concat(lit("part-"), pmod(col("l_partkey"), lit(5)).cast("string")).as("name_clean"))
+    val w = Window.partitionBy(col("project_id"), col("name_clean")).orderBy(col("seq"))
+    li.withColumn("rn", row_number().over(w))
+      .withColumn("name",
+        when(col("rn") > 1, concat(col("name_clean"), (col("rn") - 1).cast("string")))
+          .otherwise(col("name_clean")))
+      .select(col("project_id"), col("seq"), col("name_clean"), col("name"))
+  }
+
+  /** Validation rule columns (P11, validator/strict.py:24-67) over the
+    * documents table: failure reasons accumulated as a fixed-order
+    * comma-joined string (array types hash differently across engines).
+    */
+  def validate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val reasons = concat_ws(",",
+      when(col("n_chars") <= 0, lit("empty")),
+      when(col("n_chars") > 100000, lit("too-long")),
+      when(!col("lang").isin("en", "de", "fr", "es", "it", "pt", "nl"), lit("bad-lang")),
+      when(length(col("source")) === 0, lit("no-source")))
+    docs.withColumn("reasons", reasons)
+      .withColumn("ok", col("reasons") === "")
+      .select(col("doc_id"), col("reasons"), col("ok"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic seed-list construction from the driver's `part` table.
+  *
+  * The reference consumes a flat one-column URL list
+  * (manifests_list_flat.py:45-52); our oracle-checked queries need the SAME
+  * seed list constructible in both Spark and DuckDB, so seeds are derived
+  * arithmetically from `p_partkey` — three platform URL shapes by
+  * `p_partkey % 3`, each with a duplicate alias row (same canonical unit via
+  * a different URL) to exercise URL-seen dedup, exactly like the fixture
+  * contract in FIXTURES.md §F2.
+  *
+  * `seq` is the file-order column (W1): primary rows get `2*k`, alias rows
+  * `2*k+1`, so first-wins dedup always keeps the primary form.
+  */
+object Seeds {
+
+  /** Spark side. Columns: url, seq. */
+  def seeds(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = spark.read.parquet(s"$sfDir/part.parquet").select(col("p_partkey").as("k"))
+    val kStr = col("k").cast("string")
+    val primary = part.select(
+      when(pmod(col("k"), lit(3)) === 0,
+        concat(lit("https://www.thingiverse.com/thing:"), kStr))
+        .when(pmod(col("k"), lit(3)) === 1,
+          concat(lit("https://github.com/owner"), pmod(col("k"), lit(10)).cast("string"),
+            lit("/repo"), kStr, lit("/blob/main/okh.toml")))
+        .otherwise(
+          concat(lit("https://certification.oshwa.org/us"), lpad(kStr, 6, "0"), lit(".html")))
+        .as("url"),
+      (col("k") * 2).as("seq"))
+    val alias = part.select(
+      when(pmod(col("k"), lit(3)) === 0,
+        concat(lit("https://www.thingiverse.com/thing:"), kStr)) // exact duplicate URL
+        .when(pmod(col("k"), lit(3)) === 1, // same unit via raw.githubusercontent.com
+          concat(lit("https://raw.githubusercontent.com/owner"), pmod(col("k"), lit(10)).cast("string"),
+            lit("/repo"), kStr, lit("/main/okh.toml")))
+        .otherwise(
+          concat(lit("https://certification.oshwa.org/us"), lpad(kStr, 6, "0"), lit(".html")))
+        .as("url"),
+      (col("k") * 2 + 1).as("seq"))
+    primary.unionByName(alias)
+  }
+
+  /** DuckDB oracle CTE producing the identical (url, seq) rows. */
+  val seedsSql: String =
+    """seeds AS (
+      |  SELECT CASE p_partkey % 3
+      |      WHEN 0 THEN 'https://www.thingiverse.com/thing:' || p_partkey
+      |      WHEN 1 THEN 'https://github.com/owner' || (p_partkey % 10) || '/repo' || p_partkey || '/blob/main/okh.toml'
+      |      ELSE 'https://certification.oshwa.org/us' || lpad(CAST(p_partkey AS VARCHAR), 6, '0') || '.html'
+      |    END AS url,
+      |    p_partkey * 2 AS seq
+      |  FROM part
+      |  UNION ALL
+      |  SELECT CASE p_partkey % 3
+      |      WHEN 0 THEN 'https://www.thingiverse.com/thing:' || p_partkey
+      |      WHEN 1 THEN 'https://raw.githubusercontent.com/owner' || (p_partkey % 10) || '/repo' || p_partkey || '/main/okh.toml'
+      |      ELSE 'https://certification.oshwa.org/us' || lpad(CAST(p_partkey AS VARCHAR), 6, '0') || '.html'
+      |    END AS url,
+      |    p_partkey * 2 + 1 AS seq
+      |  FROM part
+      |)""".stripMargin
+
+  /** DuckDB oracle CTE: canonical (unit_path, hosting_id, priority, seq) for
+    * the seed rows — the arithmetic mirror of what
+    * `graft.model.UrlCanonicalizer` computes structurally. Keeping both in
+    * one query proves the Scala parser against the closed-form expectation.
+    */
+  val canonSql: String =
+    """canon AS (
+      |  SELECT
+      |    CASE p_partkey % 3
+      |      WHEN 0 THEN 'thingiverse.com/' || CAST(p_partkey // 10000 AS VARCHAR) || '/' || p_partkey
+      |      WHEN 1 THEN 'github.com/owner' || (p_partkey % 10) || '/repo' || p_partkey || '/main/okh.toml'
+      |      ELSE 'oshwa.org/us' || lpad(CAST(p_partkey AS VARCHAR), 6, '0')
+      |    END AS unit_path,
+      |    CASE p_partkey % 3
+      |      WHEN 0 THEN 'thingiverse.com' WHEN 1 THEN 'github.com' ELSE 'oshwa.org'
+      |    END AS hosting_id,
+      |    CASE p_partkey % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 3 END AS priority,
+      |    p_partkey * 2 AS seq
+      |  FROM part
+      |  UNION ALL
+      |  SELECT
+      |    CASE p_partkey % 3
+      |      WHEN 0 THEN 'thingiverse.com/' || CAST(p_partkey // 10000 AS VARCHAR) || '/' || p_partkey
+      |      WHEN 1 THEN 'github.com/owner' || (p_partkey % 10) || '/repo' || p_partkey || '/main/okh.toml'
+      |      ELSE 'oshwa.org/us' || lpad(CAST(p_partkey AS VARCHAR), 6, '0')
+      |    END AS unit_path,
+      |    CASE p_partkey % 3
+      |      WHEN 0 THEN 'thingiverse.com' WHEN 1 THEN 'github.com' ELSE 'oshwa.org'
+      |    END AS hosting_id,
+      |    CASE p_partkey % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 3 END AS priority,
+      |    p_partkey * 2 + 1 AS seq
+      |  FROM part
+      |)""".stripMargin
+}

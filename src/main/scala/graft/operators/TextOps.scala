@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (exact dedup, n-gram Jaccard near-dup,
+  * MinHash+LSH, SimHash, language id, quality scoring, token counting,
+  * fingerprinting). All built from codegen'd builtin functions — no Scala
+  * UDFs in any per-row hot path.
+  *
+  * Scale notes: exact dedup and fingerprinting are single-shuffle hash
+  * aggregations on a 128-bit digest (not raw text — at 100 TB the shuffle
+  * carries 16-byte keys, not documents). Near-dup candidates come from
+  * shingle/band inverted indexes (explode → join on shingle/band key), the
+  * standard LSH shape whose shuffle is bounded by index size, never by the
+  * quadratic pair space.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Exact dedup by content hash (hash-groupBy; SURVEY's dedup family #1).
+    * Keeps the smallest doc_id as the canonical representative.
+    */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Document fingerprint: digest of whitespace-normalized lowercase text.
+    * The canonical "same modulo whitespace/case" key.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+
+  /** Whitespace token count + char count. */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_m"))
+
+  /** Quality scoring: alpha/digit/space/punct composition in permille,
+    * all-integer output for cross-engine determinism.
+    */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    val nChars = length(t).cast("long")
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+    val digit = length(regexp_replace(t, "[^0-9]", "")).cast("long")
+    val space = length(regexp_replace(t, "[^ \\t\\n]", "")).cast("long")
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      nChars.as("n_chars_m"),
+      alpha.as("alpha_chars"),
+      floor(alpha * 1000.0 / nChars).cast("long").as("alpha_permille"),
+      floor(digit * 1000.0 / nChars).cast("long").as("digit_permille"),
+      floor((nChars - alpha - digit - space) * 1000.0 / nChars).cast("long")
+        .as("punct_permille"))
+  }
+
+  /** Marker words per language for the n-gram language-id heuristic
+    * (engine analogue of the reference's langdetect usage,
+    * normalizer/__init__.py:65-78, made deterministic + oracle-expressible).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " is "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "es" -> Seq(" el ", " los ", " una "))
+
+  /** Occurrence count of `marker` in `t` via replace-length arithmetic —
+    * identical semantics in Spark and DuckDB.
+    */
+  private def occurrences(t: Column, marker: String): Column =
+    (length(t) - length(expr(s"replace(lower(text), '$marker', '')"))) / marker.length
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = lower(col("text"))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> markers.map(m => occurrences(t, m)).reduce(_ + _).cast("long")
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // tie-break: first language (in declared order) achieving the max score
+    val predicted = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+    val withScores = scores.foldLeft(docs(spark, sfDir)) { case (df, (lang, s)) =>
+      df.withColumn(s"score_$lang", s)
+    }
+    withScores.select(
+      (Seq(col("doc_id")) ++ langMarkers.map { case (l, _) => col(s"score_$l") } :+
+        predicted.as("predicted_lang")): _*)
+  }
+
+  /** Word 5-gram shingles, distinct per document. The inverted index that
+    * drives both n-gram-Jaccard and MinHash candidate generation.
+    */
+  def shingles(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame = {
+    val words = split(trim(lower(col("text"))), "\\s+")
+    docs(spark, sfDir)
+      .select(col("doc_id"), words.as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(words) - ${n - 1}), i -> concat_ws(' ', slice(words, i, $n)))"))
+          .as("shingle"))
+      .distinct()
+  }
+
+  /** N-gram Jaccard near-dup pairs: candidates share ≥1 shingle (inverted-
+    * index join — never the quadratic pair space), similarity =
+    * |∩| / |∪| in permille. Output pairs with ≥ `minPermille`.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String, minPermille: Int = 100): DataFrame = {
+    val sh = shingles(spark, sfDir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("jaccard_permille",
+        floor(col("inter") * 1000.0 / (col("na") + col("nb") - col("inter"))).cast("long"))
+      .filter(col("jaccard_permille") >= minPermille)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard_permille"))
+  }
+
+  /** MinHash signature: k hash permutations approximated by
+    * xxhash64(shingle, seed) minima — the standard one-pass distributed
+    * MinHash (map-side partial min per seed, single shuffle per doc).
+    */
+  def minhashSignatures(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding: k=64 hashes → 16 bands × 4 rows; docs sharing a
+    * band bucket are candidates; candidates are verified with exact Jaccard
+    * estimate = fraction of equal minhash components. At scale the band
+    * bucket join is the only shuffle and AQE handles skewed buckets.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String,
+      k: Int = 64, bands: Int = 16, minEqPermille: Int = 500): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = minhashSignatures(spark, sfDir, k).cache()
+    val sigCols = (0 until k).map(i => col(s"mh_$i"))
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .distinct()
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verify: fraction of equal signature components ≈ Jaccard
+    val eqExprs = (0 until k).map(i =>
+      when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
+    cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("eq_permille",
+        floor(eqExprs.reduce(_ + _) * 1000.0 / k).cast("long"))
+      .filter(col("eq_permille") >= minEqPermille)
+      .select(col("doc_a"), col("doc_b"), col("eq_permille"))
+  }
+
+  /** SimHash-64 over word unigrams: per word hash, each bit votes ±1
+    * weighted by term frequency; sign of the vote sum forms the 64-bit
+    * fingerprint. Pure expression pipeline (explode → groupBy), no UDF.
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = docs(spark, sfDir)
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("word")))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"v_$i")
+    }
+    val votes = words.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val hashExpr = (0 until 64).map { i =>
+      when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    votes.select(col("doc_id"), hashExpr.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidate-
+    * limited by 16-bit block keys (pigeonhole: distance ≤3 ⇒ at least one of
+    * 4 blocks equal), so the join is an inverted-index join, not a cross.
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(spark, sfDir).cache()
+    val blocks = (0 until 4).map { b =>
+      struct(lit(b).as("block"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
+    }
+    val keyed = sig.select(col("doc_id"), col("simhash"),
+      explode(array(blocks: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.block").as("block"), col("bk.key").as("key"))
+    val cand = keyed.as("x").join(keyed.as("y"), Seq("block", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("ha"),
+        col("y.doc_id").as("doc_b"), col("y.simhash").as("hb"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * Array[Float]`). Brute-force cosine top-k is the exact baseline; the
+  * LSH-bucketed variant is the 100 TB scale path (candidates from
+  * sign-pattern buckets, exact re-rank within buckets only).
+  *
+  * Dot products run through `aggregate`/`zip_with` builtin higher-order
+  * functions (codegen'd, sequential left-to-right accumulation in double —
+  * deterministic and matching the DuckDB oracle's accumulation order).
+  */
+object VectorOps {
+
+  private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+
+  private def norm(a: String): Column =
+    sqrt(expr(s"aggregate(transform($a, x -> x * x), 0D, (acc, v) -> acc + v)"))
+
+  /** Brute-force cosine top-k: queries = vec_id < nQueries; exact ranking
+    * over all vectors. O(Q×N) — the correctness baseline the LSH path is
+    * validated against. Output (qid, neighbor_id, rank), rank 1..k,
+    * deterministic tie-break on neighbor id.
+    */
+  def annBruteForce(spark: SparkSession, sfDir: String,
+      nQueries: Int = 20, k: Int = 3): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+      .withColumn("nrm", norm("emb"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val sim = queries.crossJoin(broadcast(emb.select(
+        col("vec_id").as("neighbor_id"), col("emb").as("nemb"), col("nrm").as("nnrm"))))
+      .filter(col("qid") =!= col("neighbor_id"))
+      .withColumn("sim",
+        expr("aggregate(zip_with(qemb, nemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+          (col("qnrm") * col("nnrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("neighbor_id"))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Sign-pattern LSH bucketing with `nPlanes` hyperplanes (random ±1
+    * components): bucket id = bit pattern of sign(v · plane_p). The scale
+    * path for ANN — candidates only within equal buckets, then exact cosine
+    * re-rank. Recall is tested against `annBruteForce` in VectorOpsSpec.
+    */
+  def lshBuckets(spark: SparkSession, sfDir: String, nPlanes: Int = 8): DataFrame = {
+    val proj = (0 until nPlanes).map { p =>
+      // v · plane_p  with plane components ±1 derived from (p, dim index)
+      val s = expr(
+        s"""aggregate(
+           |  zip_with(emb, sequence(0, size(emb) - 1), (x, j) ->
+           |    x * (CASE WHEN pmod(xxhash64($p, j), 2) = 0 THEN 1.0D ELSE -1.0D END)),
+           |  0D, (acc, v) -> acc + v)""".stripMargin)
+      when(s >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    embeddings(spark, sfDir).select(col("vec_id"), col("emb"), proj.as("bucket"))
+  }
+
+  /** LSH-accelerated ANN: same output shape as `annBruteForce` but
+    * candidates restricted to the query's bucket. At 10^10 vectors the
+    * bucket key is the shuffle key; no cross join ever materializes.
+    */
+  def annLsh(spark: SparkSession, sfDir: String,
+      nQueries: Int = 20, k: Int = 3, nPlanes: Int = 8): DataFrame = {
+    val b = lshBuckets(spark, sfDir, nPlanes)
+      .withColumn("nrm", sqrt(expr("aggregate(transform(emb, x -> x * x), 0D, (acc, v) -> acc + v)")))
+      .cache()
+    val queries = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"), col("bucket"))
+    val sim = queries.join(b.select(col("vec_id").as("neighbor_id"),
+        col("emb").as("nemb"), col("nrm").as("nnrm"), col("bucket")), Seq("bucket"))
+      .filter(col("qid") =!= col("neighbor_id"))
+      .withColumn("sim",
+        expr("aggregate(zip_with(qemb, nemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+          (col("qnrm") * col("nnrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("neighbor_id"))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+}
