@@ -1,0 +1,140 @@
+package graft.fetch
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** One frontier entry ready to fetch (post-dedup, post-robots). */
+final case class FetchTask(
+    unit_path: String,
+    hosting_id: String,
+    id: Long,
+    priority: Int,
+    seq: Long)
+
+/** Fetch outcome row — the engine's FetchResult/FailedFetch analogue
+  * (reference fetcher/result.py:13-22, fetcher/event.py:13-17): errors are
+  * DATA (status rows), never task failures, so Spark task retries stay
+  * idempotent (SURVEY §4 "Backoff/retry").
+  */
+final case class FetchLogRow(
+    unit_path: String,
+    hosting_id: String,
+    id: Long,
+    priority: Int,
+    seq: Long,
+    pos: Long, // per-host fetch position (politeness queue order, W4)
+    scheduled_ms: Long, // earliest start under the politeness budget
+    completed_ms: Long, // virtual-clock completion incl. retries
+    retries: Int,
+    status: String) // ok | not_found | error
+
+/** The politeness-gated ordered fetch stage (SURVEY §2.9 R1-R4) — the one
+  * deliberately non-Catalyst operator: an ordered `mapPartitions` over
+  * host-partitioned, politeness-sorted tasks.
+  *
+  * Semantics mirrored from the reference:
+  *  - per-host fixed-interval rate limit (rate_limit.py:37-50); time is a
+  *    per-host VIRTUAL clock so tests and benchmarks don't wall-clock-sleep,
+  *    while the recorded schedule proves budget compliance (1 fetch per
+  *    interval per host, exactly the reference's constants in BASELINE.md)
+  *  - bounded in-stage retries with backoff counted against the budget
+  *    (github.py:414-457); a row that exhausts retries becomes status=error
+  *  - per-host serial order = (priority, seq), recorded as `pos` so crawl
+  *    order is data, never execution order (§7.4 risk 1)
+  *
+  * Scale: `repartition(hosting_id)` gives each host one partition-stream;
+  * skewed hosts split into salted buckets with divided budgets
+  * (interval × nSalts per bucket keeps the aggregate host rate intact).
+  */
+object FetchStage {
+
+  /** Transport outcome injector: deterministic function of the task id.
+    * The local-store stand-in for HTTP (zero-egress; same boundary the
+    * reference uses for its Thingiverse local store, thingiverse.py:344-373).
+    * `transientFailures` models 429/5xx responses that succeed on retry.
+    */
+  final case class Outcome(status: String, transientFailures: Int)
+
+  def defaultOutcome(id: Long): Outcome =
+    if (id % 101 == 0) Outcome("not_found", 0) // permanent 404
+    else if (id % 97 == 0) Outcome("ok", 2) // two 5xx then success
+    else if (id % 997 == 0) Outcome("error", Int.MaxValue) // never succeeds
+    else Outcome("ok", 0)
+
+  final case class Politeness(minIntervalMs: Long, maxRetries: Int)
+
+  def defaultPoliteness: Map[String, Politeness] = Map(
+    "thingiverse.com" -> Politeness(1000L, 3),
+    "github.com" -> Politeness(5000L, 3),
+    "oshwa.org" -> Politeness(5000L, 3),
+    "appropedia.org" -> Politeness(1000L, 3),
+    "gitlab.com" -> Politeness(5000L, 3),
+    "codeberg.org" -> Politeness(5000L, 3))
+
+  /** Salted host bucket: hosts needing more than one politeness stream at
+    * scale split across `salts(host)` buckets, each granted
+    * interval × salts so the aggregate per-host rate is unchanged.
+    */
+  def run(
+      spark: SparkSession,
+      tasks: Dataset[FetchTask],
+      politeness: Map[String, Politeness] = defaultPoliteness,
+      outcome: Long => Outcome = defaultOutcome,
+      salts: Map[String, Int] = Map.empty): Dataset[FetchLogRow] = {
+    import spark.implicits._
+
+    val nSalts = salts.withDefaultValue(1)
+    val saltOf = udf { (host: String, id: Long) =>
+      (Math.floorMod(id, nSalts(host).toLong)).toInt
+    }
+
+    val w = Window.partitionBy(col("hosting_id"), col("salt"))
+      .orderBy(col("priority"), col("seq"))
+    val scheduled = tasks
+      .withColumn("salt", saltOf(col("hosting_id"), col("id")))
+      .withColumn("pos", row_number().over(w).cast("long"))
+
+    val politenessBc = spark.sparkContext.broadcast(politeness)
+    val saltsBc = spark.sparkContext.broadcast(nSalts)
+    val outcomeFn = outcome // stable reference for closure capture
+
+    scheduled
+      .repartition(col("hosting_id"), col("salt"))
+      .sortWithinPartitions(col("hosting_id"), col("salt"), col("priority"), col("seq"))
+      .as[(String, String, Long, Int, Long, Int, Long)]
+      .mapPartitions { it =>
+        val pol = politenessBc.value
+        val saltN = saltsBc.value
+        // per (host, salt) virtual clock: next allowed fetch start
+        val clock = mutable.Map.empty[(String, Int), Long]
+        it.map { case (unitPath, host, id, priority, seq, salt, pos) =>
+          val p = pol.getOrElse(host, Politeness(1000L, 3))
+          // budget split: a host salted into k buckets fetches every
+          // k × interval per bucket, preserving the aggregate host rate
+          val effInterval = p.minIntervalMs * math.max(1, saltN(host))
+          val key = (host, salt)
+          val start = clock.getOrElse(key, 0L)
+          val o = outcomeFn(id)
+          val attempts = math.min(o.transientFailures, p.maxRetries)
+          val status =
+            if (o.status != "ok") o.status
+            else if (o.transientFailures > p.maxRetries) "error"
+            else "ok"
+          // each attempt consumes one politeness slot
+          val completed = start + effInterval * (attempts + 1)
+          clock(key) = completed
+          FetchLogRow(unitPath, host, id, priority, seq, pos, start, completed,
+            attempts, status)
+        }
+      }
+  }
+
+  /** Typed view of a frontier DataFrame with the FetchTask columns. */
+  def toTasks(spark: SparkSession, df: DataFrame): Dataset[FetchTask] = {
+    import spark.implicits._
+    df.select(col("unit_path"), col("hosting_id"), col("id"),
+      col("priority").cast("int").as("priority"), col("seq")).as[FetchTask]
+  }
+}

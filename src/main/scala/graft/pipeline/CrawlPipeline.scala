@@ -1,0 +1,173 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fetch.FetchStage
+import graft.fixtures.SyntheticStore
+import graft.frontier.BloomSeen
+import graft.functions.{ImageFunctions, TextNormalize, UrlFunctions}
+import graft.tables.SnapshotStore
+
+/** The end-to-end crawl (SURVEY §3.4, §7.2): seed → canonicalize →
+  * URL-seen anti-join (Bloom-prefiltered) → robots gate → politeness fetch →
+  * normalize (caption + image invariants) → snapshot-committed sinks
+  * (`results`, `url_seen`, `fetch_log`), resumable from the latest snapshot.
+  *
+  * Table layout under `tableRoot`:
+  *   url_seen/   (unit_path, url_hash, bucket, status)   partitioned by bucket
+  *   results/    north-rule schema + invariants           partitioned by id_group
+  *   fetch_log/  FetchLogRow                              partitioned by hosting_id
+  *
+  * Scale posture: all joins key on unit_path/url_hash; the store join is an
+  * equi-join on unit_path (storage-partitioned by the same id_group at
+  * scale); the only global sort is the optional fixture-scale `limit` slice
+  * of the golden order.
+  */
+object CrawlPipeline {
+
+  final case class RunSummary(
+      version: Long,
+      attempted: Long,
+      ok: Long,
+      notFound: Long,
+      error: Long,
+      robotsDenied: Long,
+      resultRows: Long)
+
+  val NBuckets = 32
+
+  def urlSeenStore(tableRoot: String) = new SnapshotStore(s"$tableRoot/url_seen")
+  def resultsStore(tableRoot: String) = new SnapshotStore(s"$tableRoot/results")
+  def fetchLogStore(tableRoot: String) = new SnapshotStore(s"$tableRoot/fetch_log")
+
+  /** Frontier from the synthetic store dir: one URL per store row (the
+    * store's image_id encodes the thing id). Seeds are (url, seq=id).
+    */
+  def frontier(spark: SparkSession, storeDir: String): DataFrame = {
+    val ids = spark.read.parquet(storeDir)
+      .select(regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long").as("id"))
+    ids
+      .withColumn("url", concat(lit("https://www.thingiverse.com/thing:"), col("id")))
+      .withColumn("seq", col("id"))
+      .withColumn("canon", UrlFunctions.canonicalize(col("url")))
+      .select(col("id"), col("url"), col("seq"),
+        col("canon.hosting_id").as("hosting_id"),
+        col("canon.unit_path").as("unit_path"))
+      .filter(col("unit_path").isNotNull)
+      .withColumn("priority", UrlFunctions.hostPriority(col("hosting_id")))
+      .withColumn("url_hash", UrlFunctions.urlHash(col("unit_path")))
+      .withColumn("bucket", pmod(col("url_hash"), lit(NBuckets.toLong)))
+  }
+
+  /** Robots disallow rules for the pipeline: deterministic id-based fixture
+    * (every 103rd thing disallowed) standing in for per-host robots.txt
+    * caches joined into the frontier (R5).
+    */
+  def robotsAllowed(df: DataFrame): DataFrame =
+    df.withColumn("robots_denied", pmod(col("id"), lit(103)) === 0)
+
+  /** One crawl run: process up to `limit` frontier units not yet in
+    * url_seen, commit snapshots, return counters. Re-invoking continues
+    * from the committed snapshot (resume, R6).
+    */
+  def run(spark: SparkSession, storeDir: String, tableRoot: String,
+      limit: Option[Long] = None): RunSummary = {
+    import spark.implicits._
+
+    val seen = urlSeenStore(tableRoot)
+    val fullFrontier = robotsAllowed(frontier(spark, storeDir))
+
+    // URL-seen anti-join with Bloom pre-filter (no false negatives; exact
+    // anti-join on unit_path settles Bloom positives).
+    val candidates = seen.read(spark) match {
+      case None => fullFrontier
+      case Some(seenDf) =>
+        val seenKeys = seenDf.select(col("unit_path"), col("url_hash"))
+        val might = BloomSeen.mightContainPredicate(spark, seenKeys, "url_hash")
+        val maybeSeen = fullFrontier.filter(might)
+          .join(seenKeys.select("unit_path"), Seq("unit_path"), "left_anti")
+        val definitelyNew = fullFrontier.filter(!might)
+        definitelyNew.unionByName(maybeSeen)
+    }
+
+    // fixture-scale run slice of the golden order (kill/resume simulation)
+    val sliced = limit match {
+      case Some(n) => candidates.orderBy(col("priority"), col("seq")).limit(n.toInt)
+      case None    => candidates
+    }
+    val slicedC = sliced.cache()
+
+    val denied = slicedC.filter(col("robots_denied"))
+      .select(col("unit_path"), col("hosting_id"), col("id"), col("priority"), col("seq"))
+    val allowed = slicedC.filter(!col("robots_denied"))
+
+    val tasks = FetchStage.toTasks(spark, allowed)
+    val log = FetchStage.run(spark, tasks).cache()
+
+    // normalize + invariants for fetched units: join the store payload
+    val store = spark.read.parquet(storeDir)
+      .withColumn("id", regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long"))
+    val fetched = log.filter(col("status") === "ok")
+      .select(col("unit_path"), col("id"), col("pos"), col("scheduled_ms"))
+    val results = fetched.join(store, Seq("id"))
+      .withColumn("caption", TextNormalize.normalizeCaptionUdf(col("caption")))
+      .withColumn("phash_check", ImageFunctions.phash64(col("bytes")))
+      .withColumn("id_group", (col("id") / 10000).cast("long"))
+      .select(col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"),
+        col("caption"), col("phash"), col("phash_check"), col("unit_path"),
+        col("id_group"))
+
+    val statusCounts = log.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDenied = denied.count()
+
+    // commits (order matters for crash safety: payload sinks before the
+    // url_seen commit that makes units invisible to the next run — a crash
+    // in between re-fetches at most one slice, idempotently overwriting)
+    val resultRows = results.count()
+    resultsStore(tableRoot).append(spark, results, "id_group",
+      Map("rows" -> resultRows))
+    fetchLogStore(tableRoot).append(spark, log.toDF(), "hosting_id", statusCounts)
+
+    val seenRows = log
+      .filter(col("status").isin("ok", "not_found")) // permanent outcomes only
+      .select(col("unit_path"), col("hosting_id"), col("id"), col("status"))
+      .join(fullFrontier.select("unit_path", "url_hash", "bucket"), Seq("unit_path"))
+    val deniedSeen = denied
+      .join(fullFrontier.select("unit_path", "url_hash", "bucket"), Seq("unit_path"))
+      .withColumn("status", lit("robots_denied"))
+      .select(col("unit_path"), col("hosting_id"), col("id"), col("status"),
+        col("url_hash"), col("bucket"))
+    val snap = seen.append(spark,
+      seenRows.select("unit_path", "hosting_id", "id", "status", "url_hash", "bucket")
+        .unionByName(deniedSeen),
+      "bucket",
+      statusCounts.updated("robots_denied", nDenied))
+
+    slicedC.unpersist(); log.unpersist()
+    RunSummary(
+      version = snap.version,
+      attempted = statusCounts.values.sum + nDenied,
+      ok = statusCounts.getOrElse("ok", 0L),
+      notFound = statusCounts.getOrElse("not_found", 0L),
+      error = statusCounts.getOrElse("error", 0L),
+      robotsDenied = nDenied,
+      resultRows = resultRows)
+  }
+
+  /** Run to exhaustion (all frontier units either seen or error),
+    * `limit`-sized slices per run. Returns the per-run summaries.
+    */
+  def runUntilDone(spark: SparkSession, storeDir: String, tableRoot: String,
+      limit: Long): Seq[RunSummary] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[RunSummary]
+    var keepGoing = true
+    while (keepGoing) {
+      val s = run(spark, storeDir, tableRoot, Some(limit))
+      out += s
+      // errors are retried every run; stop when a run attempts only errors
+      keepGoing = s.attempted > 0 && (s.ok + s.notFound + s.robotsDenied) > 0
+    }
+    out.toSeq
+  }
+}

@@ -1,0 +1,174 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** "Iceberg-lite" snapshot layer: partitioned Parquet data files + versioned
+  * JSON snapshot manifests + an atomic CURRENT pointer.
+  *
+  * No Iceberg runtime jar exists in this environment (SURVEY §7.0), so the
+  * table layer implements the subset of snapshot semantics the north rule
+  * needs — resumable checkpoint with per-partition lineage + metrics —
+  * API-shaped so a real catalog could be swapped in:
+  *
+  * ```
+  * <root>/data/<commit-uuid>/part-*.parquet      immutable data files
+  * <root>/snapshots/v<N>.json                    manifest: files, lineage, metrics
+  * <root>/CURRENT                                text "v<N>", atomically replaced
+  * ```
+  *
+  * Commit protocol (crash-safe on a POSIX fs): (1) write data files into a
+  * fresh commit dir, (2) write v<N>.json via temp-file + ATOMIC_MOVE,
+  * (3) flip CURRENT via temp-file + ATOMIC_MOVE. A crash at any point leaves
+  * either the old CURRENT (orphan data/manifest ignored by readers) or the
+  * fully-committed new version. This mirrors the reference's
+  * store-state-then-continue checkpointing (fetcher_state.py:26-51) with
+  * table-level atomicity instead of a mutable JSON file.
+  */
+final class SnapshotStore(val root: String) {
+
+  private def p(parts: String*): Path = Paths.get(root, parts: _*)
+
+  final case class DataFileMeta(path: String, rows: Long, partitionKey: String)
+
+  /** One committed table version. `lineage` records, per partition key, how
+    * many rows each commit contributed — the per-partition lineage the north
+    * rule asks for. `metrics` are free-form counters for the commit.
+    */
+  final case class Snapshot(
+      version: Long,
+      parentVersion: Long, // -1 for first
+      files: Vector[DataFileMeta],
+      lineage: Map[String, Long],
+      metrics: Map[String, Long]) {
+
+    def toJson: Json.JObj = Json.obj(
+      "version" -> Json.n(version),
+      "parent_version" -> Json.n(parentVersion),
+      "files" -> Json.JArr(files.map(f => Json.obj(
+        "path" -> Json.s(f.path),
+        "rows" -> Json.n(f.rows),
+        "partition" -> Json.s(f.partitionKey)): Json.Value)),
+      "lineage" -> Json.JObj(lineage.toVector.sortBy(_._1)
+        .map { case (k, v) => k -> (Json.n(v): Json.Value) }),
+      "metrics" -> Json.JObj(metrics.toVector.sortBy(_._1)
+        .map { case (k, v) => k -> (Json.n(v): Json.Value) }))
+  }
+
+  private def snapshotFromJson(j: Json.JObj): Snapshot = Snapshot(
+    version = j.long("version"),
+    parentVersion = j.long("parent_version"),
+    files = j.arr("files").map { case o: Json.JObj =>
+      DataFileMeta(o.str("path"), o.long("rows"), o.str("partition"))
+    },
+    lineage = j("lineage").asInstanceOf[Json.JObj].v
+      .map { case (k, v) => k -> v.asInstanceOf[Json.JNum].toLong }.toMap,
+    metrics = j("metrics").asInstanceOf[Json.JObj].v
+      .map { case (k, v) => k -> v.asInstanceOf[Json.JNum].toLong }.toMap)
+
+  def currentVersion: Option[Long] = {
+    val cur = p("CURRENT")
+    if (!Files.exists(cur)) None
+    else Some(Files.readString(cur).trim.stripPrefix("v").toLong)
+  }
+
+  def currentSnapshot: Option[Snapshot] = currentVersion.map(readSnapshot)
+
+  def readSnapshot(version: Long): Snapshot = {
+    val j = Json.parse(Files.readString(p("snapshots", s"v$version.json")))
+    snapshotFromJson(j.asInstanceOf[Json.JObj])
+  }
+
+  /** Read the current table state (union of all committed data files).
+    * Files are grouped by commit and read with that commit's `basePath` so
+    * the partition column (encoded in `<col>=<value>` directory names) is
+    * reconstructed. Returns None when the table has no committed snapshot.
+    */
+  def read(spark: SparkSession): Option[DataFrame] =
+    currentSnapshot.flatMap { snap =>
+      if (snap.files.isEmpty) None
+      else {
+        val byCommit = snap.files.groupBy(_.path.split('/').take(2).mkString("/"))
+        val parts = byCommit.toSeq.sortBy(_._1).map { case (commitDir, files) =>
+          spark.read
+            .option("basePath", s"$root/$commitDir")
+            .parquet(files.map(f => s"$root/${f.path}"): _*)
+        }
+        Some(parts.reduce(_ unionByName _))
+      }
+    }
+
+  /** Append `df` as a new commit. `partitionCol` drives both the on-disk
+    * layout (`partitionBy`) and the per-partition lineage counts. Returns the
+    * committed snapshot.
+    */
+  def append(spark: SparkSession, df: DataFrame, partitionCol: String,
+      metrics: Map[String, Long] = Map.empty): Snapshot = synchronized {
+    import org.apache.spark.sql.functions._
+    Files.createDirectories(p("data"))
+    Files.createDirectories(p("snapshots"))
+
+    val commitId = UUID.randomUUID().toString
+    val commitRel = s"data/$commitId"
+    val cached = df.cache()
+    try {
+      // per-partition lineage for this commit
+      val counts = cached.groupBy(col(partitionCol).cast("string").as("pk"))
+        .count().collect()
+        .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
+
+      cached.write.partitionBy(partitionCol).parquet(s"$root/$commitRel")
+
+      val newFiles = Files.walk(p(commitRel)).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet"))
+        .map { f =>
+          val rel = p("").toAbsolutePath.relativize(f.toAbsolutePath).toString
+          val pk = f.getParent.getFileName.toString match {
+            case s if s.startsWith(s"$partitionCol=") => s.substring(partitionCol.length + 1)
+            case _ => ""
+          }
+          DataFileMeta(rel, -1L, pk)
+        }.toVector
+
+      val parent = currentSnapshot
+      val version = parent.map(_.version + 1).getOrElse(0L)
+      val mergedLineage = counts.foldLeft(parent.map(_.lineage).getOrElse(Map.empty)) {
+        case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v)
+      }
+      val snap = Snapshot(
+        version = version,
+        parentVersion = parent.map(_.version).getOrElse(-1L),
+        files = parent.map(_.files).getOrElse(Vector.empty) ++ newFiles,
+        lineage = mergedLineage,
+        metrics = metrics)
+
+      writeAtomic(p("snapshots", s"v$version.json"), snap.toJson.toString)
+      writeAtomic(p("CURRENT"), s"v$version")
+      snap
+    } finally cached.unpersist()
+  }
+
+  /** Start-over semantics (R6: `start_over=True` deletes state,
+    * github.py:374-382): commit an empty snapshot; prior data files become
+    * unreferenced history.
+    */
+  def truncate(): Snapshot = synchronized {
+    Files.createDirectories(p("snapshots"))
+    val parent = currentSnapshot
+    val version = parent.map(_.version + 1).getOrElse(0L)
+    val snap = Snapshot(version, parent.map(_.version).getOrElse(-1L),
+      Vector.empty, Map.empty, Map("truncated" -> 1L))
+    writeAtomic(p("snapshots", s"v$version.json"), snap.toJson.toString)
+    writeAtomic(p("CURRENT"), s"v$version")
+    snap
+  }
+
+  private def writeAtomic(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

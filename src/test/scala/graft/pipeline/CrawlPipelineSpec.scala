@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.fixtures.SyntheticStore
+import graft.functions.{ImageFunctions, TextNormalize}
+
+/** End-to-end crawl semantics (SURVEY §7.2 minimum slice): golden crawl
+  * order, URL-seen set, politeness compliance, kill+resume equivalence, and
+  * the north-rule row invariants over the results table.
+  */
+class CrawlPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val N = 400L
+
+  private lazy val storeDir: String = {
+    val dir = Files.createTempDirectory("graft-store").toString
+    SyntheticStore.ensureOnDisk(spark, dir, N)
+    dir
+  }
+
+  private def freshRoot(): String = Files.createTempDirectory("graft-tables").toString
+
+  test("single full run: every unit resolved exactly once; URL-seen set is the golden set") {
+    val root = freshRoot()
+    val s = CrawlPipeline.run(spark, storeDir, root)
+    assert(s.attempted == N)
+    val seen = CrawlPipeline.urlSeenStore(root).read(spark).get
+    // golden URL-seen set = all ids except never-succeeding errors (997)
+    val expected = (1L to N).filter(id => id % 997 != 0)
+      .map(SyntheticStore.unitPath).toSet
+    val got = seen.select("unit_path").as[String].collect().toSet
+    assert(got == expected)
+    // statuses partition correctly
+    assert(s.robotsDenied == (1L to N).count(_ % 103 == 0))
+    assert(s.notFound == (1L to N).count(id => id % 103 != 0 && id % 101 == 0))
+  }
+
+  test("politeness budget: per-host fetch starts are >= interval apart, order = (priority, seq)") {
+    val root = freshRoot()
+    CrawlPipeline.run(spark, storeDir, root)
+    val log = CrawlPipeline.fetchLogStore(root).read(spark).get
+      .orderBy("pos").collect()
+    var prevCompleted = Long.MinValue
+    var prevSeq = Long.MinValue
+    log.foreach { r =>
+      val sched = r.getAs[Long]("scheduled_ms")
+      val completed = r.getAs[Long]("completed_ms")
+      val seq = r.getAs[Long]("seq")
+      assert(sched >= prevCompleted || prevCompleted == Long.MinValue,
+        "fetch started before previous completed + interval")
+      assert(seq > prevSeq, "per-host order must follow (priority, seq)")
+      assert(completed - sched >= 1000L, "each fetch consumes >= one 1000ms slot")
+      prevCompleted = completed; prevSeq = seq
+    }
+    // total virtual time respects the 1 req/s thingiverse budget
+    val attempts = log.map(r => r.getAs[Int]("retries") + 1L).sum
+    assert(log.last.getAs[Long]("completed_ms") == attempts * 1000L)
+  }
+
+  test("kill + resume from snapshot == single run (final state identical)") {
+    val rootA = freshRoot(); val rootB = freshRoot()
+    CrawlPipeline.run(spark, storeDir, rootA) // one shot
+    // interrupted: slices of 150 until done
+    CrawlPipeline.runUntilDone(spark, storeDir, rootB, 150L)
+
+    def seenSet(root: String) =
+      CrawlPipeline.urlSeenStore(root).read(spark).get
+        .select("unit_path", "status").as[(String, String)].collect().toSet
+    assert(seenSet(rootA) == seenSet(rootB))
+
+    def resultSet(root: String) =
+      CrawlPipeline.resultsStore(root).read(spark).get
+        .select("image_id", "caption", "phash").as[(String, String, Long)]
+        .collect().toSet
+    assert(resultSet(rootA) == resultSet(rootB))
+    // resume processed strictly new units each run: no duplicate results
+    val ids = CrawlPipeline.resultsStore(rootB).read(spark).get
+      .select("image_id").as[String].collect()
+    assert(ids.length == ids.distinct.length)
+  }
+
+  test("resume does not refetch: second run after completion attempts only retryable errors") {
+    val root = freshRoot()
+    CrawlPipeline.run(spark, storeDir, root)
+    val s2 = CrawlPipeline.run(spark, storeDir, root)
+    val nErrors = (1L to N).count(id => id % 997 == 0 && id % 103 != 0)
+    assert(s2.attempted == nErrors, s"resume refetched: $s2")
+    assert(s2.ok == 0 && s2.resultRows == 0)
+  }
+
+  test("north-rule row invariants: caption equality + phash match + PSNR >= 40") {
+    val root = freshRoot()
+    CrawlPipeline.run(spark, storeDir, root)
+    val results = CrawlPipeline.resultsStore(root).read(spark).get.cache()
+    // stored phash equals phash recomputed from delivered bytes, for EVERY row
+    assert(results.filter(col("phash") =!= col("phash_check")).count() == 0)
+    // caption equality vs the reference normalizer applied to the golden caption
+    val rows = results.select("image_id", "caption", "bytes", "w", "h", "fmt").collect()
+    rows.foreach { r =>
+      val id = r.getAs[String]("image_id").stripPrefix("thing:").takeWhile(_ != '/').toLong
+      val golden = TextNormalize.normalizeCaption(SyntheticStore.caption(id))
+      assert(r.getAs[String]("caption") == golden, s"caption mismatch id=$id")
+      // decoded-pixel invariant vs regenerated golden pixels
+      val img = ImageFunctions.decode(r.getAs[Array[Byte]]("bytes")).get
+      val w = r.getAs[Int]("w"); val h = r.getAs[Int]("h")
+      assert(img.getWidth == w && img.getHeight == h)
+      val psnr = ImageFunctions.psnr(
+        ImageFunctions.pixelsOf(img),
+        SyntheticStore.pixels(id, w, h, r.getAs[String]("fmt")))
+      assert(psnr >= 40.0, s"PSNR $psnr < 40 for id=$id fmt=${r.getAs[String]("fmt")}")
+    }
+    results.unpersist()
+  }
+
+  test("golden crawl order: fetch positions follow ascending id (thingiverse F3 semantics)") {
+    val root = freshRoot()
+    CrawlPipeline.run(spark, storeDir, root)
+    val order = CrawlPipeline.fetchLogStore(root).read(spark).get
+      .orderBy("pos").select("id").as[Long].collect()
+    assert(order.sameElements(order.sorted), "crawl order must be ascending id scan")
+  }
+}

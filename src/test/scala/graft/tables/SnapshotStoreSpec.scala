@@ -1,0 +1,69 @@
+package graft.tables
+
+import java.nio.file.{Files, Paths}
+import graft.SparkTestBase
+
+class SnapshotStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-snap").toString
+
+  test("append → read returns committed rows with lineage + metrics") {
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    assert(store.currentVersion.isEmpty)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "pk")
+    val snap = store.append(spark, df, "pk", Map("fetched" -> 3L))
+    assert(snap.version == 0L && snap.parentVersion == -1L)
+    assert(snap.lineage == Map("a" -> 2L, "b" -> 1L))
+    assert(snap.metrics("fetched") == 3L)
+    val read = store.read(spark).get
+    assert(read.count() == 3)
+    assert(read.columns.toSet == Set("id", "pk"))
+  }
+
+  test("second append unions with first; lineage accumulates") {
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.append(spark, Seq((1L, "a")).toDF("id", "pk"), "pk")
+    val snap2 = store.append(spark, Seq((2L, "a"), (3L, "c")).toDF("id", "pk"), "pk")
+    assert(snap2.version == 1L && snap2.parentVersion == 0L)
+    assert(snap2.lineage == Map("a" -> 2L, "c" -> 1L))
+    assert(store.read(spark).get.count() == 3)
+  }
+
+  test("crash-mid-commit: orphan data + manifest without CURRENT flip are invisible") {
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.append(spark, Seq((1L, "a")).toDF("id", "pk"), "pk")
+    // simulate a crash after data + manifest write but before CURRENT flip:
+    // write an orphan manifest v99 and orphan data files by hand
+    Files.createDirectories(Paths.get(root, "data", "orphan"))
+    Files.writeString(Paths.get(root, "data", "orphan", "junk.parquet"), "junk")
+    Files.writeString(Paths.get(root, "snapshots", "v99.json"),
+      """{"version":99,"parent_version":0,"files":[],"lineage":{},"metrics":{}}""")
+    // readers follow CURRENT only
+    assert(store.currentVersion.contains(0L))
+    assert(store.read(spark).get.count() == 1)
+    // and the next commit continues from CURRENT, not from the orphan
+    val snap = store.append(spark, Seq((2L, "b")).toDF("id", "pk"), "pk")
+    assert(snap.version == 1L)
+  }
+
+  test("truncate = start_over semantics (R6)") {
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.append(spark, Seq((1L, "a")).toDF("id", "pk"), "pk")
+    val t = store.truncate()
+    assert(t.files.isEmpty)
+    assert(store.read(spark).isEmpty)
+  }
+
+  test("snapshot json roundtrip preserves 64-bit values exactly") {
+    val big = Long.MaxValue - 7
+    val j = Json.parse(s"""{"v":$big,"neg":${Long.MinValue + 3}}""").asInstanceOf[Json.JObj]
+    assert(j.long("v") == big)
+    assert(j.long("neg") == Long.MinValue + 3)
+  }
+}
