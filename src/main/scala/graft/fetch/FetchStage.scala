@@ -5,13 +5,18 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
-/** One frontier entry ready to fetch (post-dedup, post-robots). */
+/** One frontier entry ready to fetch (post-dedup, post-robots). `url_hash`
+  * and `bucket` ride along so downstream sinks never re-join the frontier.
+  */
 final case class FetchTask(
     unit_path: String,
     hosting_id: String,
     id: Long,
     priority: Int,
-    seq: Long)
+    seq: Long,
+    url_hash: Long,
+    bucket: Long,
+    robots_denied: Boolean)
 
 /** Fetch outcome row — the engine's FetchResult/FailedFetch analogue
   * (reference fetcher/result.py:13-22, fetcher/event.py:13-17): errors are
@@ -24,6 +29,8 @@ final case class FetchLogRow(
     id: Long,
     priority: Int,
     seq: Long,
+    url_hash: Long,
+    bucket: Long,
     pos: Long, // per-host fetch position (politeness queue order, W4)
     scheduled_ms: Long, // earliest start under the politeness budget
     completed_ms: Long, // virtual-clock completion incl. retries
@@ -103,30 +110,37 @@ object FetchStage {
     scheduled
       .repartition(col("hosting_id"), col("salt"))
       .sortWithinPartitions(col("hosting_id"), col("salt"), col("priority"), col("seq"))
-      .as[(String, String, Long, Int, Long, Int, Long)]
+      .as[(String, String, Long, Int, Long, Long, Long, Boolean, Int, Long)]
       .mapPartitions { it =>
         val pol = politenessBc.value
         val saltN = saltsBc.value
         // per (host, salt) virtual clock: next allowed fetch start
         val clock = mutable.Map.empty[(String, Int), Long]
-        it.map { case (unitPath, host, id, priority, seq, salt, pos) =>
-          val p = pol.getOrElse(host, Politeness(1000L, 3))
-          // budget split: a host salted into k buckets fetches every
-          // k × interval per bucket, preserving the aggregate host rate
-          val effInterval = p.minIntervalMs * math.max(1, saltN(host))
+        it.map { case (unitPath, host, id, priority, seq, urlHash, bucket,
+            robotsDenied, salt, pos) =>
           val key = (host, salt)
           val start = clock.getOrElse(key, 0L)
-          val o = outcomeFn(id)
-          val attempts = math.min(o.transientFailures, p.maxRetries)
-          val status =
-            if (o.status != "ok") o.status
-            else if (o.transientFailures > p.maxRetries) "error"
-            else "ok"
-          // each attempt consumes one politeness slot
-          val completed = start + effInterval * (attempts + 1)
-          clock(key) = completed
-          FetchLogRow(unitPath, host, id, priority, seq, pos, start, completed,
-            attempts, status)
+          if (robotsDenied) {
+            // robots gate (R5): no request issued, no politeness slot spent
+            FetchLogRow(unitPath, host, id, priority, seq, urlHash, bucket, pos,
+              start, start, 0, "robots_denied")
+          } else {
+            val p = pol.getOrElse(host, Politeness(1000L, 3))
+            // budget split: a host salted into k buckets fetches every
+            // k × interval per bucket, preserving the aggregate host rate
+            val effInterval = p.minIntervalMs * math.max(1, saltN(host))
+            val o = outcomeFn(id)
+            val attempts = math.min(o.transientFailures, p.maxRetries)
+            val status =
+              if (o.status != "ok") o.status
+              else if (o.transientFailures > p.maxRetries) "error"
+              else "ok"
+            // each attempt consumes one politeness slot
+            val completed = start + effInterval * (attempts + 1)
+            clock(key) = completed
+            FetchLogRow(unitPath, host, id, priority, seq, urlHash, bucket, pos,
+              start, completed, attempts, status)
+          }
         }
       }
   }
@@ -135,6 +149,7 @@ object FetchStage {
   def toTasks(spark: SparkSession, df: DataFrame): Dataset[FetchTask] = {
     import spark.implicits._
     df.select(col("unit_path"), col("hosting_id"), col("id"),
-      col("priority").cast("int").as("priority"), col("seq")).as[FetchTask]
+      col("priority").cast("int").as("priority"), col("seq"),
+      col("url_hash"), col("bucket"), col("robots_denied")).as[FetchTask]
   }
 }

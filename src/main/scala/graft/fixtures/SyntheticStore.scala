@@ -28,9 +28,13 @@ object SyntheticStore {
   final case class StoreRow(image_id: String, bytes: Array[Byte], w: Int, h: Int,
       fmt: String, caption: String, phash: Long)
 
-  def dims(id: Long): (Int, Int) = {
+  /** Default 8..64 px (FIXTURES.md F1 unit/e2e scale); the bench store uses
+    * a larger range so decode cost is realistic for an image crawl.
+    */
+  def dims(id: Long, minPx: Int = 8, maxPx: Int = 64): (Int, Int) = {
     val h1 = mix64(id * 31 + 7)
-    (8 + (Math.floorMod(h1, 57L)).toInt, 8 + (Math.floorMod(h1 >>> 8, 57L)).toInt)
+    val span = (maxPx - minPx + 1).toLong
+    (minPx + Math.floorMod(h1, span).toInt, minPx + Math.floorMod(h1 >>> 8, span).toInt)
   }
 
   def fmtOf(id: Long): String = formats((id % 4).toInt)
@@ -83,8 +87,8 @@ object SyntheticStore {
     }
   }
 
-  def row(id: Long): StoreRow = {
-    val (w, h) = dims(id)
+  def row(id: Long, minPx: Int = 8, maxPx: Int = 64): StoreRow = {
+    val (w, h) = dims(id, minPx, maxPx)
     val fmt = fmtOf(id)
     val px = pixels(id, w, h, fmt)
     val bytes = ImageFunctions.encode(px, w, h, fmt)
@@ -102,16 +106,20 @@ object SyntheticStore {
   def unitPath(id: Long): String = s"thingiverse.com/${id / 10000}/$id"
 
   /** Distributed deterministic generation: ids 1..n. */
-  def generate(spark: SparkSession, n: Long, partitions: Int = 32): DataFrame = {
+  def generate(spark: SparkSession, n: Long, partitions: Int = 32,
+      minPx: Int = 8, maxPx: Int = 64): DataFrame = {
     import spark.implicits._
-    spark.range(1, n + 1, 1, partitions).as[Long].map(row).toDF()
+    spark.range(1, n + 1, 1, partitions).as[Long].map(id => row(id, minPx, maxPx)).toDF()
   }
 
   /** Materialize to parquet once; reuse across runs (id-stable). */
-  def ensureOnDisk(spark: SparkSession, dir: String, n: Long): String = {
+  def ensureOnDisk(spark: SparkSession, dir: String, n: Long,
+      minPx: Int = 8, maxPx: Int = 64): String = {
     val marker = new java.io.File(s"$dir/_SUCCESS")
     if (!marker.exists()) {
-      generate(spark, n).write.mode(SaveMode.Overwrite).parquet(dir)
+      // 128 output files: parquet row groups are the split unit for the
+      // binary payload, so file count bounds downstream scan parallelism
+      generate(spark, n, 128, minPx, maxPx).write.mode(SaveMode.Overwrite).parquet(dir)
     }
     dir
   }

@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions.udf
   */
 object ImageFunctions {
 
+  // ImageIO defaults to a file-backed, lock-contended stream cache — with
+  // 32 decode threads that serializes on temp-file creation and destroys
+  // scaling. In-memory streams only (class-load-time, once per executor JVM).
+  ImageIO.setUseCache(false)
+
   def decode(bytes: Array[Byte]): Option[BufferedImage] =
     Option(ImageIO.read(new ByteArrayInputStream(bytes)))
 

@@ -127,32 +127,45 @@ object UrlCanonicalizer {
 
   final case class ParseFailure(url: String, reason: String)
 
-  def hostOf(url: String): Option[String] =
+  /** One-shot parsed view of a URL — the canonicalizer parses each URL
+    * exactly once (java.net.URI construction dominates the UDF cost at
+    * frontier scale; the naive form paid it 6× per row).
+    */
+  final case class ParsedUrl(scheme: String, host: String, parts: Array[String]) {
+    def isValid: Boolean =
+      (scheme == "http" || scheme == "https") && host != null && host.nonEmpty
+  }
+
+  def parseUrl(url: String): Option[ParsedUrl] =
     try {
-      Option(new URI(url).getHost).map(_.toLowerCase)
+      val u = new URI(url)
+      Some(ParsedUrl(
+        Option(u.getScheme).map(_.toLowerCase).orNull,
+        Option(u.getHost).map(_.toLowerCase).orNull,
+        Option(u.getPath).getOrElse("").split("/").filter(_.nonEmpty)))
     } catch { case _: Exception => None }
 
-  private def pathParts(url: String): Array[String] =
-    try {
-      Option(new URI(url).getPath).getOrElse("").split("/").filter(_.nonEmpty)
-    } catch { case _: Exception => Array.empty }
+  def hostOf(url: String): Option[String] =
+    parseUrl(url).flatMap(u => Option(u.host))
 
   /** Basic URL-validity gate (reference: util.py:48-54 uses `validators.url`;
     * we require scheme http(s) + non-empty host).
     */
-  def isValidUrl(url: String): Boolean =
-    try {
-      val u = new URI(url)
-      (u.getScheme == "http" || u.getScheme == "https") && u.getHost != null && u.getHost.nonEmpty
-    } catch { case _: Exception => false }
+  def isValidUrl(url: String): Boolean = parseUrl(url).exists(_.isValid)
 
   /** Forge-family parse (reference: hosting_unit_forge.py:74-149). */
-  def parseForge(url: String): Either[ParseFailure, ForgeUnit] = {
-    val hostOpt = hostOf(url)
+  def parseForge(url: String): Either[ParseFailure, ForgeUnit] =
+    parseUrl(url) match {
+      case Some(u) => parseForgeParsed(url, u)
+      case None    => Left(ParseFailure(url, "invalid URL"))
+    }
+
+  private def parseForgeParsed(url: String, parsed: ParsedUrl): Either[ParseFailure, ForgeUnit] = {
+    val hostOpt = Option(parsed.host)
     val hidOpt = hostOpt.flatMap(HostingId.fromHost)
     (hostOpt, hidOpt) match {
       case (Some(host), Some(hid @ (HostingId.GithubCom | HostingId.CodebergOrg))) =>
-        val p = pathParts(url)
+        val p = parsed.parts
         if (p.length < 2) Left(ParseFailure(url, s"not a valid $hid project URL"))
         else {
           val owner = p(0)
@@ -175,7 +188,7 @@ object UrlCanonicalizer {
           }
         }
       case (_, Some(HostingId.GitlabCom)) =>
-        val p = pathParts(url)
+        val p = parsed.parts
         if (p.length < 2) Left(ParseFailure(url, "not a valid gitlab.com project URL"))
         else {
           val owner = p(0)
@@ -195,21 +208,25 @@ object UrlCanonicalizer {
   }
 
   /** Web-by-id parse (reference: hosting_unit_web.py:44-94). */
-  def parseWeb(url: String): Either[ParseFailure, WebUnit] = {
-    HostingId.fromUrl(url) match {
+  def parseWeb(url: String): Either[ParseFailure, WebUnit] =
+    parseUrl(url) match {
+      case Some(u) => parseWebParsed(url, u)
+      case None    => Left(ParseFailure(url, "invalid URL"))
+    }
+
+  private def parseWebParsed(url: String, parsed: ParsedUrl): Either[ParseFailure, WebUnit] = {
+    Option(parsed.host).flatMap(HostingId.fromHost) match {
       case Some(HostingId.AppropediaOrg) =>
         // project id = URL path sans leading/trailing slash (web.py:59-66)
-        val raw = try Option(new URI(url).getPath).getOrElse("")
-        catch { case _: Exception => "" }
-        val pid = raw.stripPrefix("/").stripSuffix("/")
+        val pid = parsed.parts.mkString("/")
         if (pid.isEmpty) Left(ParseFailure(url, "empty appropedia project id"))
         else Right(WebUnit(HostingId.AppropediaOrg, pid))
       case Some(HostingId.OshwaOrg) =>
-        val p = pathParts(url)
+        val p = parsed.parts
         if (p.length != 1) Left(ParseFailure(url, "oshwa project URLs have exactly one path part"))
         else Right(WebUnit(HostingId.OshwaOrg, p(0).replace(".html", "")))
       case Some(HostingId.ThingiverseCom) =>
-        val p = pathParts(url)
+        val p = parsed.parts
         if (p.isEmpty) Left(ParseFailure(url, "thingiverse URLs have at least one path part"))
         else {
           val idParts = p(0).split(":")
@@ -223,15 +240,17 @@ object UrlCanonicalizer {
   }
 
   /** Factory semantics (reference: hosting_unit_factory.py:24-29): try the
-    * forge parse first, fall back to web-by-id.
+    * forge parse first, fall back to web-by-id. The URL is URI-parsed ONCE.
     */
   def parse(url: String): Either[ParseFailure, HostingUnitId] =
-    if (!isValidUrl(url)) Left(ParseFailure(url, "invalid URL"))
-    else
-      parseForge(url) match {
-        case r @ Right(_) => r
-        case Left(_)      => parseWeb(url)
-      }
+    parseUrl(url) match {
+      case Some(u) if u.isValid =>
+        parseForgeParsed(url, u) match {
+          case r @ Right(_) => r
+          case Left(_)      => parseWebParsed(url, u)
+        }
+      case _ => Left(ParseFailure(url, "invalid URL"))
+    }
 
   /** Canonical unit path for a URL, or None if unparseable. */
   def canonicalPath(url: String): Option[String] =

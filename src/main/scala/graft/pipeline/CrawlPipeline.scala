@@ -70,8 +70,20 @@ object CrawlPipeline {
     * url_seen, commit snapshots, return counters. Re-invoking continues
     * from the committed snapshot (resume, R6).
     */
+  private val profile = sys.env.get("GRAFT_PROFILE").contains("1")
+  private def timed[A](name: String)(f: => A): A = {
+    if (!profile) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[crawl-profile] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+  }
+
   def run(spark: SparkSession, storeDir: String, tableRoot: String,
-      limit: Option[Long] = None): RunSummary = {
+      limit: Option[Long] = None,
+      salts: Map[String, Int] = Map.empty): RunSummary = {
     import spark.implicits._
 
     val seen = urlSeenStore(tableRoot)
@@ -95,21 +107,21 @@ object CrawlPipeline {
       case Some(n) => candidates.orderBy(col("priority"), col("seq")).limit(n.toInt)
       case None    => candidates
     }
-    val slicedC = sliced.cache()
 
-    val denied = slicedC.filter(col("robots_denied"))
-      .select(col("unit_path"), col("hosting_id"), col("id"), col("priority"), col("seq"))
-    val allowed = slicedC.filter(!col("robots_denied"))
+    // robots-denied units flow THROUGH the fetch stage as pre-resolved
+    // status rows (no request, no politeness slot) — one pass, one log
+    val tasks = FetchStage.toTasks(spark, sliced)
+    val log = FetchStage.run(spark, tasks, salts = salts).cache()
 
-    val tasks = FetchStage.toTasks(spark, allowed)
-    val log = FetchStage.run(spark, tasks).cache()
-
-    // normalize + invariants for fetched units: join the store payload
+    // normalize + invariants for fetched units: join the store payload.
+    // The fetched-key side is bounded by the run slice → broadcast it so the
+    // image bytes NEVER shuffle (at full 10^10 scale this becomes a
+    // storage-partitioned join on the shared id_group layout instead).
     val store = spark.read.parquet(storeDir)
       .withColumn("id", regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long"))
     val fetched = log.filter(col("status") === "ok")
       .select(col("unit_path"), col("id"), col("pos"), col("scheduled_ms"))
-    val results = fetched.join(store, Seq("id"))
+    val results = store.join(broadcast(fetched), Seq("id"))
       .withColumn("caption", TextNormalize.normalizeCaptionUdf(col("caption")))
       .withColumn("phash_check", ImageFunctions.phash64(col("bytes")))
       .withColumn("id_group", (col("id") / 10000).cast("long"))
@@ -117,37 +129,35 @@ object CrawlPipeline {
         col("caption"), col("phash"), col("phash_check"), col("unit_path"),
         col("id_group"))
 
-    val statusCounts = log.groupBy("status").count().collect()
+    val statusCounts = timed("status counts")(log.groupBy("status").count().collect())
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nDenied = denied.count()
+    val nDenied = statusCounts.getOrElse("robots_denied", 0L)
 
     // commits (order matters for crash safety: payload sinks before the
     // url_seen commit that makes units invisible to the next run — a crash
-    // in between re-fetches at most one slice, idempotently overwriting)
-    val resultRows = results.count()
-    resultsStore(tableRoot).append(spark, results, "id_group",
-      Map("rows" -> resultRows))
-    fetchLogStore(tableRoot).append(spark, log.toDF(), "hosting_id", statusCounts)
+    // in between re-fetches at most one slice, idempotently overwriting).
+    // The expensive decode join executes exactly once: append() caches it,
+    // counts it (commit_rows) and writes from the cache.
+    val resultsSnap = timed("results append")(
+      resultsStore(tableRoot).append(spark, results, "id_group"))
+    val resultRows = resultsSnap.metrics("commit_rows")
+    timed("fetch_log append")(
+      fetchLogStore(tableRoot).append(spark, log.toDF(), "hosting_id", statusCounts,
+        clusterBeforeWrite = true))
 
+    // url_hash/bucket rode through the fetch stage — no re-join needed;
+    // permanent outcomes only (transient errors stay fetchable next run)
     val seenRows = log
-      .filter(col("status").isin("ok", "not_found")) // permanent outcomes only
-      .select(col("unit_path"), col("hosting_id"), col("id"), col("status"))
-      .join(fullFrontier.select("unit_path", "url_hash", "bucket"), Seq("unit_path"))
-    val deniedSeen = denied
-      .join(fullFrontier.select("unit_path", "url_hash", "bucket"), Seq("unit_path"))
-      .withColumn("status", lit("robots_denied"))
+      .filter(col("status").isin("ok", "not_found", "robots_denied"))
       .select(col("unit_path"), col("hosting_id"), col("id"), col("status"),
         col("url_hash"), col("bucket"))
-    val snap = seen.append(spark,
-      seenRows.select("unit_path", "hosting_id", "id", "status", "url_hash", "bucket")
-        .unionByName(deniedSeen),
-      "bucket",
-      statusCounts.updated("robots_denied", nDenied))
+    val snap = timed("url_seen append")(seen.append(spark, seenRows,
+      "bucket", statusCounts, clusterBeforeWrite = true))
 
-    slicedC.unpersist(); log.unpersist()
+    log.unpersist()
     RunSummary(
       version = snap.version,
-      attempted = statusCounts.values.sum + nDenied,
+      attempted = statusCounts.values.sum,
       ok = statusCounts.getOrElse("ok", 0L),
       notFound = statusCounts.getOrElse("not_found", 0L),
       error = statusCounts.getOrElse("error", 0L),

@@ -104,22 +104,35 @@ final class SnapshotStore(val root: String) {
     * layout (`partitionBy`) and the per-partition lineage counts. Returns the
     * committed snapshot.
     */
+  /** `clusterBeforeWrite`: shuffle rows onto their partition key before the
+    * write. Worth it for small-row tables whose key is hash-random (every
+    * task would otherwise open a file per partition value — file-open
+    * overhead dwarfs the data); wrong for payload tables whose input order
+    * is already aligned with the key (a shuffle would move the heavy bytes).
+    */
   def append(spark: SparkSession, df: DataFrame, partitionCol: String,
-      metrics: Map[String, Long] = Map.empty): Snapshot = synchronized {
+      metrics: Map[String, Long] = Map.empty,
+      clusterBeforeWrite: Boolean = false): Snapshot = synchronized {
     import org.apache.spark.sql.functions._
     Files.createDirectories(p("data"))
     Files.createDirectories(p("snapshots"))
 
     val commitId = UUID.randomUUID().toString
-    val commitRel = s"data/$commitId"
-    val cached = df.cache()
-    try {
-      // per-partition lineage for this commit
-      val counts = cached.groupBy(col(partitionCol).cast("string").as("pk"))
-        .count().collect()
-        .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
-
-      cached.write.partitionBy(partitionCol).parquet(s"$root/$commitRel")
+    val commitRel: String = s"data/$commitId"
+    val profile = sys.env.get("GRAFT_PROFILE").contains("1")
+    def timed[A](name: String)(f: => A): A =
+      if (!profile) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[append-profile] $name%-20s ${(System.nanoTime() - t0) / 1e9}%7.2f s ($root)")
+        r
+      }
+    // single pass: write the data, then derive per-partition lineage from
+    // the committed files (partition-column-only scan = parquet footer
+    // row counts, no data pages read, no recompute of the input plan)
+    val toWrite = if (clusterBeforeWrite) df.repartition(col(partitionCol)) else df
+    timed("write")(toWrite.write.partitionBy(partitionCol).parquet(s"$root/$commitRel"))
 
       val newFiles = Files.walk(p(commitRel)).iterator().asScala
         .filter(f => f.toString.endsWith(".parquet"))
@@ -132,6 +145,14 @@ final class SnapshotStore(val root: String) {
           DataFileMeta(rel, -1L, pk)
         }.toVector
 
+      // an all-filtered run commits zero files — valid empty commit
+      val counts: Map[String, Long] =
+        if (newFiles.isEmpty) Map.empty
+        else timed("footer counts")(spark.read.parquet(s"$root/$commitRel")
+          .groupBy(col(partitionCol).cast("string").as("pk"))
+          .count().collect()
+          .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap)
+
       val parent = currentSnapshot
       val version = parent.map(_.version + 1).getOrElse(0L)
       val mergedLineage = counts.foldLeft(parent.map(_.lineage).getOrElse(Map.empty)) {
@@ -142,12 +163,11 @@ final class SnapshotStore(val root: String) {
         parentVersion = parent.map(_.version).getOrElse(-1L),
         files = parent.map(_.files).getOrElse(Vector.empty) ++ newFiles,
         lineage = mergedLineage,
-        metrics = metrics)
+        metrics = metrics.updated("commit_rows", counts.values.sum))
 
       writeAtomic(p("snapshots", s"v$version.json"), snap.toJson.toString)
       writeAtomic(p("CURRENT"), s"v$version")
       snap
-    } finally cached.unpersist()
   }
 
   /** Start-over semantics (R6: `start_over=True` deletes state,

@@ -41,8 +41,10 @@ class CrawlPipelineSpec extends SparkTestBase {
   test("politeness budget: per-host fetch starts are >= interval apart, order = (priority, seq)") {
     val root = freshRoot()
     CrawlPipeline.run(spark, storeDir, root)
-    val log = CrawlPipeline.fetchLogStore(root).read(spark).get
+    val fullLog = CrawlPipeline.fetchLogStore(root).read(spark).get
       .orderBy("pos").collect()
+    // robots-denied rows issue no request and consume no politeness slot
+    val log = fullLog.filter(_.getAs[String]("status") != "robots_denied")
     var prevCompleted = Long.MinValue
     var prevSeq = Long.MinValue
     log.foreach { r =>
@@ -54,6 +56,11 @@ class CrawlPipelineSpec extends SparkTestBase {
       assert(seq > prevSeq, "per-host order must follow (priority, seq)")
       assert(completed - sched >= 1000L, "each fetch consumes >= one 1000ms slot")
       prevCompleted = completed; prevSeq = seq
+    }
+    var prevSeqAll = Long.MinValue
+    fullLog.foreach { r =>
+      assert(r.getAs[Long]("seq") > prevSeqAll, "pos must follow (priority, seq)")
+      prevSeqAll = r.getAs[Long]("seq")
     }
     // total virtual time respects the 1 req/s thingiverse budget
     val attempts = log.map(r => r.getAs[Int]("retries") + 1L).sum
