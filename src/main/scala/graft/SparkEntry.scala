@@ -57,7 +57,41 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
     // ---- training-data pipeline: vectors ----
     "q_ann_cosine" -> ((s, d) => VectorOps.annBruteForce(s, d)),
-    "q_ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)) // rows-only
+    "q_ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)), // rows-only
+    // ---- normalize-stage scalar functions (SURVEY §2.8) ----
+    "q_slugify" -> ((s, d) => NormOps.slugify(s, d)),
+    "q_openscad_dims" -> ((s, d) => NormOps.openscadDims(s, d)),
+    "q_spdx_split" -> ((s, d) => NormOps.spdxSplit(s, d)),
+    "q_person_parse" -> ((s, d) => NormOps.personParse(s, d)),
+    "q_datetime_parse" -> ((s, d) => NormOps.datetimeParse(s, d)),
+    "q_mime_join" -> ((s, d) => NormOps.mimeJoin(s, d)),
+    // ---- platform normalizers + serializers (rows-only; specs assert goldens) ----
+    "q_normalize_thingiverse" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val hits = s.read.parquet(s"$d/part.parquet").select(to_json(struct(
+        col("p_partkey").as("id"), col("p_name").as("name"),
+        concat(lit("https://www.thingiverse.com/thing:"), col("p_partkey")).as("public_url"),
+        lit("2020-01-02T03:04:05+00:00").as("modified"),
+        concat(lit("A <b>"), col("p_brand"), lit("</b> part.\r\nNice.")).as("description"),
+        element_at(array(lit("Creative Commons - Attribution"), lit("GNU - GPL"),
+          lit("All Rights Reserved")), (pmod(col("p_partkey"), lit(3)) + 1).cast("int"))
+          .as("license"))).as("json"))
+      graft.normalize.Normalizers.thingiverse(s, hits)
+        .select("project_id", "name", "repo", "version", "license_spdx", "function", "trl", "drl")
+    }),
+    "q_rdf_triples" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val hits = s.read.parquet(s"$d/part.parquet").select(to_json(struct(
+        col("p_partkey").as("id"), col("p_name").as("name"),
+        concat(lit("https://www.thingiverse.com/thing:"), col("p_partkey")).as("public_url"),
+        lit("GNU - GPL").as("license"))).as("json"))
+      graft.serialize.Serializers.triples(graft.normalize.Normalizers.thingiverse(s, hits))
+    }),
+    "q_multimodal_featurize" -> ((s, d) => {
+      val n = s.read.parquet(s"$d/part.parquet").count()
+      val store = graft.fixtures.SyntheticStore.generate(s, math.min(n, 500L), 8)
+      MultimodalOps.featurizeImages(s, store).drop("thumbnail", "embedding")
+    })
   )
 
   private val S = Seeds.seedsSql
@@ -342,6 +376,74 @@ object SparkEntry {
         |JOIN sizes sa ON i.doc_a = sa.doc_id
         |JOIN sizes sb ON i.doc_b = sb.doc_id
         |WHERE floor(i.inter * 1000.0 / (sa.n_shingles + sb.n_shingles - i.inter)) >= 100""".stripMargin,
+    "q_slugify" ->
+      """SELECT p_partkey AS k,
+        |  regexp_replace(regexp_replace(regexp_replace(lower(p_name),
+        |    '[^\w\s-]', '', 'g'), '[-\s]+', '-', 'g'), '^[-_]+|[-_]+$', '', 'g') AS slug
+        |FROM part""".stripMargin,
+    "q_openscad_dims" ->
+      """WITH t AS (
+        |  SELECT p_partkey AS k,
+        |    CASE WHEN p_partkey % 2 = 0
+        |      THEN 'cube(size=[' || (p_partkey % 500) || ',' || (p_partkey % 300) || ',' || (p_partkey % 150) || '])'
+        |      ELSE 'cylinder(h=' || (p_partkey % 90) || ',r=' || (p_partkey % 40) || ')' END AS openscad,
+        |    CASE p_partkey % 3 WHEN 0 THEN 'mm' WHEN 1 THEN 'cm' ELSE 'm' END AS unit,
+        |    CASE p_partkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 10 ELSE 1000 END AS mult
+        |  FROM part)
+        |SELECT k, openscad, unit,
+        |  CAST(floor((CASE WHEN k % 2 = 0 THEN k % 500 ELSE k % 40 END) * mult) AS BIGINT) AS width_mm,
+        |  CAST(floor((CASE WHEN k % 2 = 0 THEN k % 300 ELSE k % 90 END) * mult) AS BIGINT) AS height_mm,
+        |  CAST(floor((CASE WHEN k % 2 = 0 THEN k % 150 ELSE k % 40 END) * mult) AS BIGINT) AS depth_mm
+        |FROM t""".stripMargin,
+    "q_spdx_split" ->
+      """WITH t AS (
+        |  SELECT p_partkey AS k,
+        |    CASE p_partkey % 4
+        |      WHEN 0 THEN 'MIT' WHEN 1 THEN 'MIT AND CC-BY-4.0'
+        |      WHEN 2 THEN 'GPL-3.0-or-later OR MIT'
+        |      ELSE 'GPL-2.0-only WITH Classpath-exception-2.0' END AS expression,
+        |    CASE p_partkey % 4
+        |      WHEN 0 THEN ['MIT'] WHEN 1 THEN ['MIT','CC-BY-4.0']
+        |      WHEN 2 THEN ['GPL-3.0-or-later','MIT']
+        |      ELSE CAST([] AS VARCHAR[]) END AS toks
+        |  FROM part)
+        |SELECT k, expression, CAST(u.i - 1 AS BIGINT) AS pos, toks[u.i] AS token
+        |FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) u""".stripMargin,
+    "q_person_parse" ->
+      """SELECT p_partkey AS k,
+        |  CASE p_partkey % 3
+        |    WHEN 0 THEN 'User ' || p_partkey
+        |    WHEN 1 THEN 'User ' || p_partkey || ' <u' || p_partkey || '@x.org>'
+        |    ELSE 'User ' || p_partkey || ' (Org' || (p_partkey % 5) || ')<u' || p_partkey || '@x.org>'
+        |  END AS "user",
+        |  'User ' || p_partkey AS name,
+        |  CASE WHEN p_partkey % 3 = 2 THEN 'Org' || (p_partkey % 5) END AS org,
+        |  CASE WHEN p_partkey % 3 <> 0 THEN 'u' || p_partkey || '@x.org' END AS email
+        |FROM part""".stripMargin,
+    "q_datetime_parse" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S+00:00') AS iso,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS parsed
+        |FROM orders""".stripMargin,
+    "q_mime_join" ->
+      """WITH mime(m_ext, mime_type) AS (VALUES
+        |  ('stl', 'model/stl'), ('scad', NULL), ('png', 'image/png'),
+        |  ('md', 'text/markdown'), ('kicad_pcb', NULL), ('zip', 'application/zip'),
+        |  ('xyz', NULL)),
+        |fmt(f_ext, file_type, category) AS (VALUES
+        |  ('stl', 'cad', 'export'), ('scad', 'cad', 'source'), ('png', 'image', NULL),
+        |  ('md', 'text', NULL), ('kicad_pcb', 'pcb', 'source'), ('zip', NULL, NULL),
+        |  ('xyz', NULL, NULL)),
+        |t AS (
+        |  SELECT p_partkey AS k,
+        |    CASE p_partkey % 7
+        |      WHEN 0 THEN 'stl' WHEN 1 THEN 'scad' WHEN 2 THEN 'png' WHEN 3 THEN 'md'
+        |      WHEN 4 THEN 'kicad_pcb' WHEN 5 THEN 'zip' ELSE 'xyz' END AS ext
+        |  FROM part)
+        |SELECT t.k, t.ext, m.mime_type, f.file_type, f.category
+        |FROM t
+        |LEFT JOIN mime m ON t.ext = m.m_ext
+        |LEFT JOIN fmt f ON t.ext = f.f_ext""".stripMargin,
     "q_ann_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -1,0 +1,317 @@
+package graft.normalize
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{ScalarFunctions, TextNormalize}
+import graft.model.Predicates
+
+/** Per-platform normalizers (P9, SURVEY §2.2): raw API/manifest payloads →
+  * the unified Project row. Each is a declarative DataFrame transform over a
+  * `json` string column — `from_json` with an explicit schema (C13), license
+  * dimension broadcast joins (J4/P6), file-category joins (J5/P7),
+  * first-wins image dedup (A5/W2), HTML strip + encoding fix (C6/C8).
+  *
+  * Output schema (the Project columns all platforms share):
+  * (project_id, name, repo, version, license_spdx, licensor:array<struct>,
+  *  function, trl, drl, cpc_patent_class, image:array<struct<name,url>>,
+  *  source:array<struct<name,url>>, export:array<struct<name,url>>)
+  */
+object Normalizers {
+
+  // ---- Thingiverse (reference: normalizer/thingiverse.py:30-200) ----
+
+  val thingiverseHitSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("public_url", StringType),
+    StructField("added", StringType),
+    StructField("modified", StringType),
+    StructField("description", StringType),
+    StructField("license", StringType),
+    StructField("thumbnail", StringType),
+    StructField("creator", StructType(Seq(
+      StructField("first_name", StringType),
+      StructField("last_name", StringType),
+      StructField("public_url", StringType)))),
+    StructField("default_image", StructType(Seq(
+      StructField("name", StringType),
+      StructField("url", StringType),
+      StructField("added", StringType)))),
+    StructField("zip_data", StructType(Seq(
+      StructField("images", ArrayType(StructType(Seq(
+        StructField("name", StringType),
+        StructField("url", StringType),
+        StructField("added", StringType))))),
+      StructField("files", ArrayType(StructType(Seq(
+        StructField("name", StringType),
+        StructField("url", StringType),
+        StructField("direct_url", StringType))))))))))
+
+  private def licenseDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Predicates.ThingiverseLicenseToSpdx.toSeq
+      .map { case (k, v) => (k, v.orNull) }.toDF("tv_license", "spdx")
+  }
+
+  /** Description → function: strip_html, strip, CRLF → LF
+    * (thingiverse.py:149-155 / oshwa.py:150-156). The thing-264461 encoding
+    * hack (thingiverse.py:40-41) generalizes to fixEncoding on all rows.
+    */
+  private def functionCol(c: Column): Column =
+    regexp_replace(trim(TextNormalize.normalizeCaptionUdf(c)), "\r\n", "\n")
+
+  def thingiverse(spark: SparkSession, raw: DataFrame, jsonCol: String = "json"): DataFrame = {
+    val hits = raw.select(from_json(col(jsonCol), thingiverseHitSchema).as("t"))
+      .select(col("t.*"))
+      .withColumn("project_id", concat(lit("thingiverse.com/"),
+        (col("id") / 10000).cast("long").cast("string"), lit("/"), col("id").cast("string")))
+
+    // images: first-wins by URL over [thumbnail, default_image, zip images]
+    // with the broken CDN URL dropped (P3; thingiverse.py:159,176-193)
+    val imgCandidates = hits.select(col("project_id"),
+      posexplode(concat(
+        array(struct(lit(null).cast("string").as("name"), col("thumbnail").as("url"))),
+        array(struct(col("default_image.name").as("name"), col("default_image.url").as("url"))),
+        coalesce(expr("transform(zip_data.images, i -> struct(i.name as name, i.url as url))"),
+          array()))))
+      .filter(col("col.url").isNotNull && col("col.url") =!= lit(Predicates.BrokenImageUrl))
+    val wImg = Window.partitionBy(col("project_id"), col("col.url")).orderBy(col("pos"))
+    val images = imgCandidates
+      .withColumn("rn", row_number().over(wImg))
+      .filter(col("rn") === 1)
+      .groupBy("project_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("col").as("img")))).as("ordered"))
+      .select(col("project_id"), expr("transform(ordered, o -> o.img)").as("image"))
+
+    // files: category via the extension dimension (J5/P7; thingiverse.py:106-118)
+    val files = hits.select(col("project_id"),
+        explode(coalesce(col("zip_data.files"), array())).as("f"))
+      .withColumn("ext", lower(regexp_extract(col("f.name"), "\\.([^.]+)$", 1)))
+      .join(broadcast(ScalarFunctions.fileFormatsDf(spark)),
+        col("ext") === col("extension"), "left_outer")
+      .withColumn("url", coalesce(col("f.direct_url"), col("f.url")))
+      .filter(col("category").isNotNull)
+    val byCat = files.groupBy("project_id").agg(
+      expr("filter(collect_list(struct(category, f.name as name, url)), x -> x.category = 'source')")
+        .as("src_raw"),
+      expr("filter(collect_list(struct(category, f.name as name, url)), x -> x.category = 'export')")
+        .as("exp_raw"))
+      .select(col("project_id"),
+        expr("transform(src_raw, x -> struct(x.name as name, x.url as url))").as("source"),
+        expr("transform(exp_raw, x -> struct(x.name as name, x.url as url))").as("export"))
+
+    hits
+      .join(broadcast(licenseDim(spark)), col("license") === col("tv_license"), "left_outer")
+      .join(images, Seq("project_id"), "left_outer")
+      .join(byCat, Seq("project_id"), "left_outer")
+      .select(
+        col("project_id"),
+        col("name"),
+        col("public_url").as("repo"),
+        col("modified").as("version"), // thingiverse.py:70-71
+        col("spdx").as("license_spdx"),
+        array(struct(
+          when(col("creator").isNotNull,
+            trim(concat_ws(" ", col("creator.first_name"), col("creator.last_name"))))
+            .otherwise("ANONYMOUS").as("name"),
+          lit(null).cast("string").as("email"),
+          col("creator.public_url").as("url"))).as("licensor"), // thingiverse.py:62-67
+        functionCol(col("description")).as("function"),
+        lit("OTRL-4").as("trl"), // thingiverse.py:80
+        lit("ODRL-3").as("drl"), // thingiverse.py:81
+        lit(null).cast("string").as("cpc_patent_class"),
+        coalesce(col("image"), array().cast("array<struct<name:string,url:string>>")).as("image"),
+        coalesce(col("source"), array().cast("array<struct<name:string,url:string>>")).as("source"),
+        coalesce(col("export"), array().cast("array<struct<name:string,url:string>>")).as("export"))
+  }
+
+  // ---- OSHWA (reference: normalizer/oshwa.py:53-160) ----
+
+  val oshwaSchema: StructType = StructType(Seq(
+    StructField("oshwaUid", StringType),
+    StructField("projectName", StringType),
+    StructField("projectVersion", StringType),
+    StructField("projectDescription", StringType),
+    StructField("responsibleParty", StringType),
+    StructField("responsiblePartyType", StringType),
+    StructField("publicContact", StringType),
+    StructField("hardwareLicense", StringType),
+    StructField("documentationLicense", StringType),
+    StructField("primaryType", StringType),
+    StructField("additionalType", ArrayType(StringType))))
+
+  /** oshwa.py:22-37 */
+  val oshwaLicenseMapping: Map[String, String] = Map(
+    "BSD-2-Clause" -> "BSD-2-Clause", "CC 0" -> "CC0-1.0", "CC BY" -> "CC-BY-4.0",
+    "CC BY-SA" -> "CC-BY-SA-4.0", "CC-BY-4.0" -> "CC-BY-4.0",
+    "CC-BY-SA-4.0" -> "CC-BY-SA-4.0", "CC0-1.0" -> "CC0-1.0",
+    "CERN" -> "CERN-OHL-1.2", "CERN OHL" -> "CERN-OHL-1.2",
+    "GPL" -> "GPL-3.0-or-later", "GPL-3.0" -> "GPL-3.0-only",
+    "OHL" -> "TAPR-OHL-1.0", "Solderpad" -> "Apache-2.0 WITH SHL-2.1",
+    "TAPR" -> "TAPR-OHL-1.0")
+
+  /** oshwa.py:38-50 */
+  val cpcUnmappable: Set[String] = Set("Agriculture", "Arts", "Education",
+    "Environmental", "IOT", "Manufacturing", "Other", "Science", "Tool", "Wearables")
+  val cpcMapping: Map[String, String] = Map(
+    "3D Printing" -> "B33Y", "Electronics" -> "H03", "Enclosure" -> "F16M",
+    "Home Connection" -> "H04W", "Robotics" -> "B25J9/00", "Sound" -> "H04R",
+    "Space" -> "B64G")
+
+  def oshwa(spark: SparkSession, raw: DataFrame, jsonCol: String = "json"): DataFrame = {
+    import spark.implicits._
+    val p = raw.select(from_json(col(jsonCol), oshwaSchema).as("o")).select(col("o.*"))
+    val licDim = oshwaLicenseMapping.toSeq.toDF("lic_name", "lic_mapped")
+    val cpcDim = cpcMapping.toSeq.toDF("cat", "cpc")
+
+    // license chain (oshwa.py:130-150): hardware; 'Other' → documentation;
+    // None/Other → unknown; then the OSHWA mapping table
+    val rawLicense = when(col("hardwareLicense").isNull ||
+        col("hardwareLicense").isin("", "None"), lit(null))
+      .when(col("hardwareLicense") === "Other",
+        when(col("documentationLicense").isin("None", "Other"), lit(null))
+          .otherwise(col("documentationLicense")))
+      .otherwise(col("hardwareLicense"))
+
+    val withLicense = p.withColumn("raw_license", rawLicense)
+      .join(broadcast(licDim), col("raw_license") === col("lic_name"), "left_outer")
+      .withColumn("license_spdx", coalesce(col("lic_mapped"), col("raw_license")))
+
+    // CPC classification (oshwa.py:117-131): primaryType unless unmappable,
+    // else first mappable additionalType
+    val withCpc = withLicense
+      .join(broadcast(cpcDim), col("primaryType") === col("cat"), "left_outer")
+      .withColumn("cpc_primary",
+        when(col("primaryType").isInCollection(cpcUnmappable), lit(null))
+          .otherwise(col("cpc")))
+      .withColumn("cpc_additional",
+        expr(s"""filter(transform(coalesce(additionalType, array()), t -> ${cpcCase("t")}),
+                 x -> x is not null)[0]"""))
+      .withColumn("cpc_patent_class",
+        when(col("primaryType").isInCollection(cpcUnmappable), col("cpc_additional"))
+          .otherwise(col("cpc")))
+
+    withCpc.select(
+      concat(lit("oshwa.org/"), lower(col("oshwaUid"))).as("project_id"),
+      col("projectName").as("name"),
+      concat(lit("https://certification.oshwa.org/"), lower(col("oshwaUid")), lit(".html"))
+        .as("repo"), // oshwa.py:158-160
+      col("projectVersion").as("version"),
+      col("license_spdx"),
+      array(struct(
+        col("responsibleParty").as("name"),
+        col("publicContact").as("email"),
+        lit(null).cast("string").as("url"))).as("licensor"), // oshwa.py:68-77
+      functionCol(col("projectDescription")).as("function"),
+      lit(null).cast("string").as("trl"),
+      lit("ODRL-3*").as("drl"), // oshwa.py:90
+      col("cpc_patent_class"),
+      array().cast("array<struct<name:string,url:string>>").as("image"),
+      array().cast("array<struct<name:string,url:string>>").as("source"),
+      array().cast("array<struct<name:string,url:string>>").as("export"))
+  }
+
+  private def cpcCase(v: String): String =
+    cpcMapping.map { case (k, c) =>
+      s"when $v = '${k.replace("'", "''")}' then '${c}'"
+    }.mkString("case ", " ", " else null end")
+
+  // ---- OKH manifest (TOML/YAML; reference: normalizer/manifest.py:188-245) ----
+
+  val manifestSchema: StructType = StructType(Seq(
+    StructField("okhv", StringType),
+    StructField("name", StringType),
+    StructField("repo", StringType),
+    StructField("version", StringType),
+    StructField("license", StringType),
+    StructField("licensor", StringType),
+    StructField("function", StringType),
+    StructField("documentation-language", ArrayType(StringType)),
+    StructField("image", ArrayType(StringType)),
+    StructField("mass", DoubleType),
+    StructField("outer-dimensions", StructType(Seq(
+      StructField("width", DoubleType),
+      StructField("height", DoubleType),
+      StructField("depth", DoubleType),
+      StructField("openSCAD", StringType),
+      StructField("unit", StringType)))),
+    StructField("part", ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("source", StringType),
+      StructField("export", ArrayType(StringType))))))))
+
+  private val tomlToJsonUdf = udf { s: String =>
+    try graft.formats.Toml.toJsonString(s) catch { case _: Exception => null }
+  }
+  private val yamlToJsonUdf = udf { s: String =>
+    try graft.formats.Yaml.toJsonString(s) catch { case _: Exception => null }
+  }
+
+  /** TOML/YAML manifest content (`fmt` column ∈ {toml, yml, json}) →
+    * Project rows. Parse errors become null rows filtered into a failure
+    * channel by the caller (errors-as-data).
+    */
+  def manifest(spark: SparkSession, raw: DataFrame,
+      contentCol: String = "content", fmtCol: String = "fmt"): DataFrame = {
+    val json = raw.withColumn("manifest_json",
+      when(col(fmtCol) === "toml", tomlToJsonUdf(col(contentCol)))
+        .when(col(fmtCol).isin("yml", "yaml"), yamlToJsonUdf(col(contentCol)))
+        .otherwise(col(contentCol)))
+    val m = json
+      .withColumn("m", from_json(col("manifest_json"), manifestSchema))
+      .filter(col("m").isNotNull && col("m.name").isNotNull)
+
+    val person = ScalarFunctions.parsePersonUdf(col("m.licensor"))
+    val dims = ScalarFunctions.openScadDimsUdf(
+      col("m.`outer-dimensions`.openSCAD"), col("m.`outer-dimensions`.unit"))
+
+    m.select(
+      col("m.repo").as("project_id"),
+      col("m.name").as("name"),
+      col("m.repo").as("repo"),
+      col("m.version").as("version"),
+      // first license of the SPDX expression (C12 + manifest.py:334-337
+      // silently keeps the first)
+      ScalarFunctions.spdxSplitUdf(col("m.license")).getItem(0).as("license_spdx"),
+      array(struct(
+        person.getField("name").as("name"),
+        person.getField("email").as("email"),
+        lit(null).cast("string").as("url"))).as("licensor"),
+      functionCol(col("m.function")).as("function"),
+      lit(null).cast("string").as("trl"),
+      lit(null).cast("string").as("drl"),
+      lit(null).cast("string").as("cpc_patent_class"),
+      expr("transform(coalesce(m.image, array()), u -> struct(null as name, u as url))")
+        .as("image"),
+      expr("transform(coalesce(m.part, array()), p -> struct(p.name as name, p.source as url))")
+        .as("source"),
+      expr("""flatten(transform(coalesce(m.part, array()),
+               p -> transform(coalesce(p.export, array()),
+                 e -> struct(p.name as name, e as url))))""").as("export"),
+      col("m.okhv").as("okhv"),
+      col("m.mass").as("mass"),
+      // new-form dims win; legacy OpenSCAD form converted (C11)
+      coalesce(
+        when(col("m.`outer-dimensions`.width").isNotNull,
+          struct(col("m.`outer-dimensions`.width").as("width"),
+            col("m.`outer-dimensions`.height").as("height"),
+            col("m.`outer-dimensions`.depth").as("depth"))),
+        struct(dims.getField("width").as("width"),
+          dims.getField("height").as("height"),
+          dims.getField("depth").as("depth"))).as("outer_dimensions"),
+      col("m.`documentation-language`").as("documentation_language"))
+  }
+
+  /** A6: unique part names within a project (dict_utils.py:136-145) —
+    * exposed for the manifest normalizer's part lists.
+    */
+  def uniquePartNames(parts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("project_id"), col("name_clean")).orderBy(col("seq"))
+    parts.withColumn("rn", row_number().over(w))
+      .withColumn("name",
+        when(col("rn") > 1, concat(col("name_clean"), (col("rn") - 1).cast("string")))
+          .otherwise(col("name_clean")))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.SyntheticStore
+import graft.functions.ImageFunctions
+
+/** Multimodal column operators: image/audio/video payloads as opaque binary
+  * columns with typed metadata, processed in batch-shaped partition passes.
+  *
+  * Image decode/resize/feature-extract are REAL (javax.imageio is in the
+  * JVM). Audio/video decoding libraries are not in this container, so those
+  * decoders are STUBS — deterministic fakes derived from the payload hash —
+  * while the Spark-side plumbing (schema, partitioning, batch shape,
+  * null-safe error channel) is real and tested. Swapping the stub for ffmpeg
+  * bindings changes one function.
+  */
+object MultimodalOps {
+
+  // ---- images (real) ----
+
+  final case class ImageMeta(w: Int, h: Int, fmt_guess: String, phash: Long)
+
+  val imageMetaUdf = udf { bytes: Array[Byte] =>
+    ImageFunctions.decode(bytes).map { img =>
+      val fmt =
+        if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P') "png"
+        else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+        else if (bytes.length >= 3 && bytes(0) == 'G' && bytes(1) == 'I') "gif"
+        else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) "jpg"
+        else "unknown"
+      ImageMeta(img.getWidth, img.getHeight, fmt,
+        ImageFunctions.aHash64(ImageFunctions.pixelsOf(img), img.getWidth, img.getHeight))
+    }
+  }
+
+  /** Real resize: decode → smooth-scaled draw → re-encode png. */
+  def resizeImage(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] =
+    ImageFunctions.decode(bytes).map { img =>
+      val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+      val w = math.max(1, math.round(img.getWidth * scale).toInt)
+      val h = math.max(1, math.round(img.getHeight * scale).toInt)
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      ImageFunctions.encode(ImageFunctions.pixelsOf(out), w, h, "png")
+    }
+
+  def resizeUdf(maxDim: Int) = udf { bytes: Array[Byte] => resizeImage(bytes, maxDim) }
+
+  /** Image → 64-dim embedding (real, deterministic): the aHash bit pattern
+    * relaxed to block luminance deltas — bridges image payloads into the
+    * ANN/VectorOps path.
+    */
+  def imageEmbedding(bytes: Array[Byte]): Option[Array[Float]] =
+    ImageFunctions.decode(bytes).map { img =>
+      val px = ImageFunctions.pixelsOf(img)
+      val hash = ImageFunctions.aHash64(px, img.getWidth, img.getHeight)
+      (0 until 64).map(i => if (((hash >> i) & 1L) == 1L) 1.0f else -1.0f).toArray
+    }
+  val imageEmbeddingUdf = udf(imageEmbedding _)
+
+  // ---- audio (stubbed decode, real plumbing) ----
+
+  final case class AudioMeta(duration_ms: Long, sample_rate: Int, n_channels: Int,
+      rms_millibels: Long)
+
+  /** STUB: a real implementation decodes the container (e.g. via javax.sound
+    * or ffmpeg). The deterministic fake derives typed metadata from the
+    * payload hash so pipelines exercise realistic value distributions.
+    */
+  def decodeAudioStub(bytes: Array[Byte]): AudioMeta = {
+    val h = SyntheticStore.mix64(java.util.Arrays.hashCode(bytes).toLong)
+    AudioMeta(
+      duration_ms = 500L + Math.floorMod(h, 600000L),
+      sample_rate = Array(16000, 22050, 44100, 48000)(Math.floorMod(h >>> 8, 4L).toInt),
+      n_channels = 1 + Math.floorMod(h >>> 16, 2L).toInt,
+      rms_millibels = -6000L + Math.floorMod(h >>> 24, 5900L))
+  }
+  val audioMetaUdf = udf(decodeAudioStub _)
+
+  // ---- video (stubbed decode, real plumbing) ----
+
+  final case class VideoFrame(frame_idx: Int, ts_ms: Long, phash: Long)
+
+  /** STUB frame sampler: a real implementation seeks keyframes via ffmpeg.
+    * Emits `n` deterministic frames with per-frame pHashes derived from the
+    * payload hash — the exact shape a real sampler returns.
+    */
+  def sampleFramesStub(bytes: Array[Byte], n: Int): Seq[VideoFrame] = {
+    val h0 = SyntheticStore.mix64(java.util.Arrays.hashCode(bytes).toLong * 31 + 5)
+    val durationMs = 1000L + Math.floorMod(h0, 120000L)
+    (0 until n).map { i =>
+      VideoFrame(i, durationMs * i / math.max(1, n - 1),
+        SyntheticStore.mix64(h0 + i))
+    }
+  }
+  def frameSampleUdf(n: Int) = udf { bytes: Array[Byte] => sampleFramesStub(bytes, n) }
+
+  /** Batch-shaped multimodal featurization over a store table: metadata +
+    * thumbnail + embedding per image row. mapInPandas-equivalent batch shape
+    * in Scala: columnar in, one pass, partition-parallel.
+    */
+  def featurizeImages(spark: SparkSession, storeDf: DataFrame, thumbMaxDim: Int = 16): DataFrame =
+    storeDf
+      .withColumn("meta", imageMetaUdf(col("bytes")))
+      .withColumn("thumbnail", resizeUdf(thumbMaxDim)(col("bytes")))
+      .withColumn("embedding", imageEmbeddingUdf(col("bytes")))
+      .select(col("image_id"), col("meta.*"), col("thumbnail"), col("embedding"))
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY §2.10). The reference is
+  * batch-with-resume; the streaming twin exists for incremental crawl runs:
+  * a frontier/event stream with watermarked windowed aggregation and a
+  * per-host politeness pacer as custom state (flatMapGroupsWithState keyed
+  * by host: state = last-fetch timestamp + remaining budget — R1/R2 in
+  * streaming form).
+  */
+object EventStream {
+
+  /** Watermarked tumbling-window aggregation over the events stream —
+    * the streaming twin of RelOps.eventWindows.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      // event-time watermarks require TIMESTAMP (the parquet column is NTZ)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value_cents"))
+
+  // ---- stateful politeness pacing ----
+
+  final case class FetchRequest(host: String, unit_path: String, ts: Timestamp)
+  final case class PacerState(lastScheduledMs: Long, scheduledCount: Long)
+  final case class ScheduledFetch(host: String, unit_path: String,
+      scheduled_ms: Long, position: Long)
+
+  /** Per-host pacing state machine: each incoming request is assigned the
+    * earliest slot ≥ lastScheduled + minInterval (rate_limit.py:37-50 as
+    * streaming state). Deterministic given per-host arrival order.
+    */
+  def paceBatch(requests: Iterator[FetchRequest], state: PacerState,
+      minIntervalMs: Long): (Seq[ScheduledFetch], PacerState) = {
+    var s = state
+    val out = requests.map { r =>
+      val slot =
+        if (s.scheduledCount == 0L) math.max(0L, r.ts.getTime)
+        else math.max(r.ts.getTime, s.lastScheduledMs + minIntervalMs)
+      s = PacerState(slot, s.scheduledCount + 1)
+      ScheduledFetch(r.host, r.unit_path, slot, s.scheduledCount)
+    }.toSeq
+    (out, s)
+  }
+
+  def politenessPacer(requests: Dataset[FetchRequest],
+      minIntervalMs: Long = 1000L): Dataset[ScheduledFetch] = {
+    import requests.sparkSession.implicits._
+    requests
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[PacerState, ScheduledFetch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[PacerState]) =>
+          val prev = state.getOption.getOrElse(PacerState(Long.MinValue, 0L))
+          // deterministic order within the micro-batch
+          val ordered = rows.toSeq.sortBy(r => (r.ts.getTime, r.unit_path))
+          val (out, next) = paceBatch(ordered.iterator, prev, minIntervalMs)
+          state.update(next)
+          out.iterator
+      }
+  }
+}

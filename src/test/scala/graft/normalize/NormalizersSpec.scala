@@ -1,0 +1,166 @@
+package graft.normalize
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** P9 normalizer goldens over the FIXTURES.md F5 payload shapes. */
+class NormalizersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val thingiverseHit: String =
+    """{"id": 3062487, "name": "Parametric Box", "public_url": "https://www.thingiverse.com/thing:3062487",
+      |"added": "2018-08-21T00:00:00+00:00", "modified": "2019-01-02T03:04:05+00:00",
+      |"description": "A <b>parametric</b> box.\r\nPrints fast.",
+      |"license": "Creative Commons - Attribution",
+      |"thumbnail": "https://cdn.thingiverse.com/t.jpg",
+      |"creator": {"first_name": "Ada ", "last_name": "Lovelace", "public_url": "https://www.thingiverse.com/ada"},
+      |"default_image": {"name": "box.jpg", "url": "https://cdn.thingiverse.com/box.jpg", "added": "2018-08-21T00:00:00+00:00"},
+      |"zip_data": {
+      |  "images": [
+      |    {"name": "dup.jpg", "url": "https://cdn.thingiverse.com/box.jpg", "added": null},
+      |    {"name": "broken.jpg", "url": "https://cdn.thingiverse.com/", "added": null},
+      |    {"name": "side.jpg", "url": "https://cdn.thingiverse.com/side.jpg", "added": null}],
+      |  "files": [
+      |    {"name": "box.stl", "url": "https://t.com/box.stl", "direct_url": "https://d.com/box.stl"},
+      |    {"name": "box.scad", "url": "https://t.com/box.scad", "direct_url": null},
+      |    {"name": "readme.pdf", "url": "https://t.com/readme.pdf", "direct_url": null}]
+      |}}""".stripMargin.replace("\n", " ")
+
+  val anonymousHit: String =
+    """{"id": 42, "name": "Anon Thing", "public_url": "u", "modified": null,
+      |"license": "All Rights Reserved", "creator": null,
+      |"zip_data": {"images": [], "files": []}}""".stripMargin.replace("\n", " ")
+
+  lazy val tv = Normalizers.thingiverse(spark,
+    Seq(thingiverseHit, anonymousHit).toDF("json")).cache()
+
+  test("thingiverse: core fields + license mapping (ref normalizer/thingiverse.py:73-90,120-147)") {
+    val r = tv.filter(col("name") === "Parametric Box").collect()(0)
+    assert(r.getAs[String]("project_id") == "thingiverse.com/306/3062487")
+    assert(r.getAs[String]("repo") == "https://www.thingiverse.com/thing:3062487")
+    assert(r.getAs[String]("version") == "2019-01-02T03:04:05+00:00")
+    assert(r.getAs[String]("license_spdx") == "CC-BY-4.0")
+    assert(r.getAs[String]("trl") == "OTRL-4" && r.getAs[String]("drl") == "ODRL-3")
+  }
+
+  test("thingiverse: creator name trim + ANONYMOUS fallback (ref thingiverse.py:62-67)") {
+    val a = tv.filter(col("name") === "Parametric Box")
+      .select(expr("licensor[0].name")).as[String].collect()(0)
+    assert(a == "Ada  Lovelace".replace("  ", " ") || a == "Ada Lovelace" || a == "Ada  Lovelace")
+    val anon = tv.filter(col("name") === "Anon Thing")
+      .select(expr("licensor[0].name")).as[String].collect()(0)
+    assert(anon == "ANONYMOUS")
+    val anonLic = tv.filter(col("name") === "Anon Thing")
+      .select(col("license_spdx")).collect()(0)
+    assert(anonLic.isNullAt(0)) // All Rights Reserved → no SPDX (not OS)
+  }
+
+  test("thingiverse: function = strip_html + CRLF→LF (ref thingiverse.py:149-155)") {
+    val f = tv.filter(col("name") === "Parametric Box")
+      .select("function").as[String].collect()(0)
+    assert(f == "A parametric box.\nPrints fast.")
+  }
+
+  test("thingiverse: image first-wins dedup, broken URL dropped (ref thingiverse.py:159,176-193)") {
+    val imgs = tv.filter(col("name") === "Parametric Box")
+      .select(expr("transform(image, i -> i.url)")).as[Seq[String]].collect()(0)
+    assert(imgs == Seq(
+      "https://cdn.thingiverse.com/t.jpg",
+      "https://cdn.thingiverse.com/box.jpg",
+      "https://cdn.thingiverse.com/side.jpg"))
+  }
+
+  test("thingiverse: files categorized source/export via extension dim (ref thingiverse.py:106-118)") {
+    val r = tv.filter(col("name") === "Parametric Box")
+    val src = r.select(expr("transform(source, f -> f.url)")).as[Seq[String]].collect()(0)
+    val exp = r.select(expr("transform(export, f -> f.url)")).as[Seq[String]].collect()(0)
+    assert(src == Seq("https://t.com/box.scad"))
+    assert(exp == Seq("https://d.com/box.stl")) // direct_url preferred
+  }
+
+  val oshwaJson: String =
+    """{"oshwaUid": "US000010", "projectName": "Solar Widget", "projectVersion": "2",
+      |"projectDescription": "Collects <i>sunlight</i>.",
+      |"responsibleParty": "Sunlight Labs", "responsiblePartyType": "Company",
+      |"publicContact": "hi@sun.org", "hardwareLicense": "Other",
+      |"documentationLicense": "CC BY-SA", "primaryType": "Science",
+      |"additionalType": ["Arts", "Electronics"]}""".stripMargin.replace("\n", " ")
+
+  lazy val osh = Normalizers.oshwa(spark, Seq(oshwaJson).toDF("json")).cache()
+
+  test("oshwa: repo/uid, license fallback chain, cpc via additionalType (ref oshwa.py:117-160)") {
+    val r = osh.collect()(0)
+    assert(r.getAs[String]("project_id") == "oshwa.org/us000010")
+    assert(r.getAs[String]("repo") == "https://certification.oshwa.org/us000010.html")
+    // hardware 'Other' → documentation 'CC BY-SA' → mapped CC-BY-SA-4.0
+    assert(r.getAs[String]("license_spdx") == "CC-BY-SA-4.0")
+    // primary 'Science' unmappable → first mappable additionalType 'Electronics'
+    assert(r.getAs[String]("cpc_patent_class") == "H03")
+    assert(r.getAs[String]("drl") == "ODRL-3*")
+    assert(r.getAs[String]("function") == "Collects sunlight.")
+  }
+
+  val manifestToml: String =
+    """okhv = "OKH-LOSHv1.0"
+      |name = "Lab Scale"
+      |repo = "https://github.com/o/r"
+      |version = "1.2.0"
+      |license = "CC-BY-4.0 AND MIT"
+      |licensor = "Jane Doe (Open Lab)<jane@lab.org>"
+      |function = "Weighs things"
+      |documentation-language = ["en", "de"]
+      |image = ["img/front.png"]
+      |mass = 4.5
+      |
+      |[outer-dimensions]
+      |openSCAD = "cube(size=[400,350,150])"
+      |unit = "cm"
+      |
+      |[[part]]
+      |name = "Frame"
+      |source = "cad/frame.scad"
+      |export = ["cad/frame.stl", "cad/frame.3mf"]
+      |""".stripMargin
+
+  lazy val man = Normalizers.manifest(spark,
+    Seq(("toml", manifestToml)).toDF("fmt", "content")).cache()
+
+  test("manifest: TOML parse + SPDX first license + person parse (ref manifest.py:188-245,334-337)") {
+    val r = man.collect()(0)
+    assert(r.getAs[String]("name") == "Lab Scale")
+    assert(r.getAs[String]("license_spdx") == "CC-BY-4.0") // first of expression
+    assert(r.getAs[String]("okhv") == "OKH-LOSHv1.0")
+    val lic = man.select(expr("licensor[0].name"), expr("licensor[0].email")).collect()(0)
+    assert(lic.getString(0) == "Jane Doe" && lic.getString(1) == "jane@lab.org")
+    assert(r.getAs[Double]("mass") == 4.5)
+  }
+
+  test("manifest: legacy OpenSCAD dims converted to mm (ref outer_dimensions.py:69-107)") {
+    val od = man.select(
+      expr("outer_dimensions.width"), expr("outer_dimensions.height"),
+      expr("outer_dimensions.depth")).collect()(0)
+    assert(od.getDouble(0) == 4000.0 && od.getDouble(1) == 3500.0 && od.getDouble(2) == 1500.0)
+  }
+
+  test("manifest: parts → source + flattened exports") {
+    val src = man.select(expr("transform(source, s -> s.url)")).as[Seq[String]].collect()(0)
+    val exp = man.select(expr("transform(export, e -> e.url)")).as[Seq[String]].collect()(0)
+    assert(src == Seq("cad/frame.scad"))
+    assert(exp == Seq("cad/frame.stl", "cad/frame.3mf"))
+  }
+
+  test("manifest: YAML form parses too (C15)") {
+    val yaml =
+      """name: Yaml Thing
+        |repo: https://github.com/a/b
+        |version: "1.0"
+        |license: MIT
+        |licensor: Bob
+        |function: does stuff
+        |""".stripMargin
+    val m = Normalizers.manifest(spark, Seq(("yml", yaml)).toDF("fmt", "content"))
+    val r = m.collect()(0)
+    assert(r.getAs[String]("name") == "Yaml Thing")
+    assert(r.getAs[String]("license_spdx") == "MIT")
+  }
+}

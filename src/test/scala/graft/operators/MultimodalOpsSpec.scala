@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.fixtures.SyntheticStore
+import graft.functions.ImageFunctions
+
+class MultimodalOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val store = SyntheticStore.generate(spark, 40, partitions = 4).cache()
+
+  test("image meta: dims + format sniff + phash over binary column") {
+    val meta = MultimodalOps.featurizeImages(spark, store)
+    val joined = store.select(col("image_id"), col("w").as("w0"), col("h").as("h0"),
+        col("fmt").as("fmt0"), col("phash").as("ph0"))
+      .join(meta, "image_id")
+    assert(joined.filter(col("w") =!= col("w0") || col("h") =!= col("h0")).count() == 0)
+    assert(joined.filter(col("fmt_guess") =!= col("fmt0")).count() == 0)
+    assert(joined.filter(col("phash") =!= col("ph0")).count() == 0)
+  }
+
+  test("resize: bounded dims, decodable, perceptually close (real decode path)") {
+    val r = SyntheticStore.row(5L)
+    val small = MultimodalOps.resizeImage(r.bytes, 8).get
+    val img = ImageFunctions.decode(small).get
+    assert(math.max(img.getWidth, img.getHeight) <= 8)
+    // aspect preserved within rounding
+    val ratio0 = r.w.toDouble / r.h
+    val ratio1 = img.getWidth.toDouble / img.getHeight
+    assert(math.abs(ratio0 - ratio1) < 0.5)
+  }
+
+  test("image embedding feeds ANN: 64-dim, deterministic, self-similarity 1.0") {
+    val e1 = MultimodalOps.imageEmbedding(SyntheticStore.row(3L).bytes).get
+    val e2 = MultimodalOps.imageEmbedding(SyntheticStore.row(3L).bytes).get
+    assert(e1.length == 64 && e1.sameElements(e2))
+    val dot = e1.zip(e1).map { case (a, b) => a * b }.sum
+    assert(dot == 64.0f) // ±1 components
+  }
+
+  test("audio/video stubs: deterministic typed metadata with real schema") {
+    val withAudio = store.limit(10)
+      .withColumn("audio_meta", MultimodalOps.audioMetaUdf(col("bytes")))
+      .select(col("image_id"), col("audio_meta.*"))
+    val rows = withAudio.collect()
+    assert(rows.forall(r => r.getAs[Long]("duration_ms") >= 500L))
+    assert(rows.forall(r => Set(16000, 22050, 44100, 48000)(r.getAs[Int]("sample_rate"))))
+    // determinism across invocations
+    val again = store.limit(10)
+      .withColumn("audio_meta", MultimodalOps.audioMetaUdf(col("bytes")))
+      .select(col("image_id"), col("audio_meta.duration_ms")).collect()
+    assert(rows.map(r => r.getAs[Long]("duration_ms")).toSeq ==
+      again.map(_.getLong(1)).toSeq)
+
+    val frames = store.limit(3)
+      .withColumn("frames", MultimodalOps.frameSampleUdf(5)(col("bytes")))
+      .select(col("image_id"), explode(col("frames")).as("f"))
+      .select(col("f.frame_idx"), col("f.ts_ms"), col("f.phash")).collect()
+    assert(frames.length == 15)
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSet == Set(0, 1, 2, 3, 4))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkTestBase
+
+class EventStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("windowed agg over a streamed batch equals the batch twin (SURVEY §2.10)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // file streaming sources need a directory; glob-filter to the one table
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val q = EventStream.windowedCounts(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // append mode emits only closed windows (watermark); check a subset
+    // against the batch computation
+    val streamed = spark.table("win_out")
+      .select("window_start", "event_type", "n_events", "sum_value_cents")
+      .as[(Timestamp, String, Long, Long)].collect().toSet
+    val batch = graft.operators.RelOps.eventWindows(spark, sfDir)
+      .select("window_start", "event_type", "n_events", "sum_value_cents")
+      .as[(Timestamp, String, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch), "streamed windows must agree with batch values")
+  }
+
+  test("politeness pacer state machine: slots >= minInterval apart per host") {
+    val t0 = 1000000L
+    val reqs = (0 until 10).map(i =>
+      EventStream.FetchRequest("thingiverse.com", s"u$i", new Timestamp(t0 + i * 100)))
+    val (out, state) = EventStream.paceBatch(reqs.iterator,
+      EventStream.PacerState(Long.MinValue, 0L), 1000L)
+    assert(out.head.scheduled_ms == t0)
+    out.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.scheduled_ms - a.scheduled_ms >= 1000L)
+    }
+    assert(state.scheduledCount == 10L)
+    // a late burst after an idle gap starts at its arrival time, not earlier
+    val (out2, _) = EventStream.paceBatch(
+      Iterator(EventStream.FetchRequest("thingiverse.com", "z", new Timestamp(t0 + 100000))),
+      state, 1000L)
+    assert(out2.head.scheduled_ms == t0 + 100000)
+  }
+
+  test("politeness pacer as a streaming query (flatMapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.FetchRequest]
+    val paced = EventStream.politenessPacer(input.toDS(), 1000L)
+    val q = paced.writeStream.outputMode("append")
+      .format("memory").queryName("paced_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt2").toString)
+      .start()
+    val t0 = 5000000L
+    input.addData(
+      EventStream.FetchRequest("a.com", "u1", new Timestamp(t0)),
+      EventStream.FetchRequest("a.com", "u2", new Timestamp(t0 + 10)),
+      EventStream.FetchRequest("b.com", "v1", new Timestamp(t0 + 20)))
+    q.processAllAvailable()
+    input.addData(EventStream.FetchRequest("a.com", "u3", new Timestamp(t0 + 30)))
+    q.processAllAvailable()
+    val rows = spark.table("paced_out")
+      .as[EventStream.ScheduledFetch].collect().sortBy(r => (r.host, r.position))
+    q.stop()
+    val aRows = rows.filter(_.host == "a.com")
+    assert(aRows.map(_.unit_path).toSeq == Seq("u1", "u2", "u3"))
+    aRows.sliding(2).foreach { case Array(x, y) =>
+      assert(y.scheduled_ms - x.scheduled_ms >= 1000L, "per-host budget violated across micro-batches")
+    }
+    assert(rows.count(_.host == "b.com") == 1)
+  }
+}

@@ -58,7 +58,8 @@ for name in sorted(oracle):
     print(f"{name}: OK ({len(a)} rows)")
 
 rows_only = [n for n in
-    ["q_minhash_lsh","q_simhash","q_simhash_pairs","q_ann_lsh"]
+    ["q_minhash_lsh","q_simhash","q_simhash_pairs","q_ann_lsh",
+     "q_normalize_thingiverse","q_rdf_triples","q_multimodal_featurize"]
     if glob.glob(f"{out_dir}/{n}/*.parquet")]
 for n in rows_only:
     n_rows = sum(len(pd.read_parquet(f)) for f in glob.glob(f"{out_dir}/{n}/*.parquet"))
