@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators._
+
+/** Physical-plan assertions: the optimizations the 100 TB posture depends on
+  * must actually appear in the plan — filter/column pushdown into the
+  * parquet scan, broadcast joins for dimension tables, whole-stage codegen
+  * around the hot expressions, and partial (map-side) aggregation.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    // execute THROUGH the same QueryExecution so AQE finalizes this plan
+    // (df.write would build a fresh one and leave this one isFinalPlan=false)
+    val qe = df.queryExecution
+    qe.executedPlan.execute().foreachPartition((_: Iterator[_]) => ())
+    qe.executedPlan.toString + "\n" +
+      qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_pricing: shipdate filter + column pruning pushed into the parquet scan") {
+    val p = plan("q1_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    // pruned read schema: no partkey/suppkey/comment columns
+    assert(p.contains("l_returnflag") && !p.contains("l_partkey"), "column pruning failed")
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), "no codegen span")
+    assert(p.contains("HashAggregate"), "expected hash aggregation")
+  }
+
+  test("q1_pricing: partial aggregation before the exchange (map-side combine)") {
+    val p = plan("q1_pricing")
+    val exchangeIdx = p.indexOf("Exchange")
+    val firstAgg = p.lastIndexOf("HashAggregate")
+    assert(exchangeIdx >= 0 && firstAgg > exchangeIdx,
+      "no partial HashAggregate below the shuffle")
+  }
+
+  test("q5_region: dimension joins are broadcast, fact table never shuffles for the join") {
+    val p = plan("q5_region")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    // lineitem side must not be exchanged before its first join
+    val firstJoin = p.indexOf("BroadcastHashJoin")
+    val factScan = p.indexOf("lineitem")
+    assert(factScan > 0 && firstJoin > 0)
+  }
+
+  test("q3_shipping: customer side broadcast; selective filters pushed") {
+    val p = plan("q3_shipping")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)") ||
+      p.contains("EqualTo(c_mktsegment,BUILDING)"), s"segment filter not pushed:\n$p")
+  }
+
+  test("q_license_join + q_mime_join: dimension joins broadcast (J4/J5)") {
+    assert(plan("q_license_join").contains("BroadcastHashJoin"))
+    assert(plan("q_mime_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q_frontier_dedup: hash aggregation (no sort-based dedup, no global sort)") {
+    val p = plan("q_frontier_dedup")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Sort [unit_path"), "dedup must not globally sort")
+  }
+
+  test("q_token_count/q_quality: single scan, codegen'd projections, no shuffle") {
+    for (q <- Seq("q_token_count", "q_quality")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should be shuffle-free:\n$p")
+      assert(p.contains("WholeStageCodegen") || p.contains("*("), s"$q lost codegen")
+    }
+  }
+
+  test("q_ann_cosine: the vector side is broadcast (no shuffled cross join)") {
+    val p = plan("q_ann_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"ANN baseline should broadcast the candidate vectors:\n$p")
+    assert(!p.contains("CartesianProduct"), "unbroadcast cartesian product")
+  }
+
+  test("crawl pipeline: store payload join is broadcast (bytes never shuffle)") {
+    import org.apache.spark.sql.functions._
+    val store = graft.fixtures.SyntheticStore.generate(spark, 200, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    store.write.mode("overwrite").parquet(dir)
+    val frontier = graft.pipeline.CrawlPipeline.robotsAllowed(
+      graft.pipeline.CrawlPipeline.frontier(spark, dir))
+    val tasks = graft.fetch.FetchStage.toTasks(spark, frontier.filter(!col("robots_denied")))
+    val log = graft.fetch.FetchStage.run(spark, tasks)
+    val fetched = log.filter(col("status") === "ok")
+      .select(col("unit_path"), col("id"), col("pos"), col("scheduled_ms"))
+    val results = spark.read.parquet(dir)
+      .withColumn("id", regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long"))
+      .join(broadcast(fetched), Seq("id"))
+    val p = results.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"payload join not broadcast:\n$p")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Dedup-family quality tests on planted near-duplicates (the rows-only
+  * queries' stronger companions).
+  */
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Synthetic documents table: 30 base docs of 60 deterministic words; for
+    * each base, a near-dup with 3 words changed (jaccard ≈ 0.8 on 5-gram
+    * shingles ≈ high minhash agreement) and one exact copy.
+    */
+  private lazy val docsDir: String = {
+    val dir = Files.createTempDirectory("graft-docs").toString
+    val vocab = (0 until 400).map(i => s"w$i")
+    def text(seed: Long, mutations: Int): String = {
+      val words = (0 until 60).map { i =>
+        vocab((graft.fixtures.SyntheticStore.mix64(seed * 131 + i) % 400).toInt.abs)
+      }.toArray
+      for (m <- 0 until mutations)
+        words(7 * (m + 1)) = vocab((graft.fixtures.SyntheticStore.mix64(seed + 999 + m) % 400).toInt.abs)
+      words.mkString(" ")
+    }
+    val rows = (0 until 30).flatMap { b =>
+      Seq(
+        (b * 10L, text(b, 0), "en", "base", 0L),
+        (b * 10L + 1, text(b, 3), "en", "neardup", 0L), // 3 of 60 words changed
+        (b * 10L + 2, text(b, 0), "en", "copy", 0L)) // exact duplicate
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup groups the planted copies (hash-groupBy)") {
+    val groups = TextOps.dedupExact(spark, docsDir)
+    assert(groups.filter(col("n_copies") === 2).count() == 30) // base+copy pairs
+    assert(groups.agg(sum("n_copies")).as[Long].collect()(0) == 90)
+  }
+
+  test("n-gram Jaccard finds every planted near-dup pair above threshold") {
+    val pairs = TextOps.ngramJaccard(spark, docsDir, minPermille = 300)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    for (b <- 0 until 30) {
+      val base = b * 10L
+      assert(pairs.contains((base, base + 1)) || pairs.contains((base + 1, base)),
+        s"missing near-dup pair for base $base")
+      assert(pairs.contains((base, base + 2)), s"missing exact pair for base $base")
+    }
+  }
+
+  test("minhash+LSH recovers high-similarity pairs found by exact jaccard (recall >= 0.9 at j>=0.7)") {
+    // 16 bands × 4 rows puts the S-curve threshold near j ≈ (1/16)^(1/4) ≈ 0.5
+    // with sharp recall above ~0.7 — compare recall in the designed regime
+    val exact = TextOps.ngramJaccard(spark, docsDir, minPermille = 700)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = TextOps.minhashLsh(spark, docsDir, minEqPermille = 400)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recalled = exact.count(lsh.contains)
+    assert(recalled.toDouble / exact.size >= 0.9,
+      s"LSH recall ${recalled.toDouble / exact.size} (found ${lsh.size}, exact ${exact.size})")
+    // and the exact copies (j = 1.0) are never missed
+    for (b <- 0 until 30)
+      assert(lsh.contains((b * 10L, b * 10L + 2)), s"missed exact-copy pair for base $b")
+  }
+
+  test("simhash: near-dups within small hamming distance; exact copies identical") {
+    val sigs = TextOps.simhash(spark, docsDir)
+      .as[(Long, Long)].collect().toMap
+    for (b <- 0 until 30) {
+      val base = b * 10L
+      assert(sigs(base) == sigs(base + 2), "exact copy must have identical simhash")
+      val ham = java.lang.Long.bitCount(sigs(base) ^ sigs(base + 1))
+      assert(ham <= 16, s"near-dup hamming $ham too large for base $base")
+    }
+    // blocked pair search finds the exact copies (hamming 0)
+    val pairs = TextOps.simhashPairs(spark, docsDir, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    for (b <- 0 until 30) assert(pairs.contains((b * 10L, b * 10L + 2)))
+  }
+
+  test("langId picks the marker language deterministically") {
+    val dir = Files.createTempDirectory("graft-lang").toString
+    Seq(
+      (1L, "the cat and the dog is here and the end", "en", "s", 0L),
+      (2L, "der hund und die katze und der rest", "de", "s", 0L),
+      (3L, "le chat et la maison et le jardin", "fr", "s", 0L),
+      (4L, "el gato y los perros y una casa", "es", "s", 0L),
+      (5L, "zzz qqq xxx", "und", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = TextOps.langId(spark, dir)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.fixtures.SyntheticStore
+
+class VectorOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Synthetic embeddings: 200 deterministic base vectors (dim 32); ids
+    * < 20 each get a planted near-duplicate at id+1000 (tiny perturbation).
+    */
+  private lazy val embDir: String = {
+    val dir = Files.createTempDirectory("graft-emb").toString
+    def vec(seed: Long, noise: Double): Array[Float] =
+      (0 until 32).map { j =>
+        val h = SyntheticStore.mix64(seed * 97 + j)
+        val base = ((h % 1000L) / 500.0 - 1.0).toFloat
+        (base + noise * ((SyntheticStore.mix64(h) % 100L) / 1000.0)).toFloat
+      }.toArray
+    val base = (0L until 200L).map(i => (i, vec(i, 0.0), 0))
+    val dups = (0L until 20L).map(i => (i + 1000L, vec(i, 0.02), 1))
+    (base ++ dups).toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("brute-force cosine: planted near-duplicate is always the top-1 neighbor") {
+    val top = VectorOps.annBruteForce(spark, embDir, nQueries = 20, k = 1)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toMap
+    for (q <- 0L until 20L)
+      assert(top(q) == q + 1000L, s"query $q top-1 = ${top(q)}, expected ${q + 1000L}")
+  }
+
+  test("LSH buckets: perturbed duplicates land in the same bucket (sign-stable)") {
+    val buckets = VectorOps.lshBuckets(spark, embDir, nPlanes = 8)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val same = (0L until 20L).count(q => buckets(q) == buckets(q + 1000L))
+    assert(same >= 16, s"only $same/20 near-dup pairs share a bucket")
+  }
+
+  test("LSH ANN recall on planted pairs >= 0.8 of brute force, with far less work") {
+    val lshTop = VectorOps.annLsh(spark, embDir, nQueries = 20, k = 1, nPlanes = 8)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = (0L until 20L).count(q => lshTop.get(q).contains(q + 1000L))
+    assert(hits >= 16, s"LSH recall $hits/20")
+    // work bound: candidate set is bucket-sized, not the full table
+    val bucketSizes = VectorOps.lshBuckets(spark, embDir, 8)
+      .groupBy("bucket").count().agg(max("count")).as[Long].collect()(0)
+    assert(bucketSizes < 220, "bucketing degenerated to a full scan")
+  }
+}
