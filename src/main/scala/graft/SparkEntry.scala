@@ -91,6 +91,20 @@ object SparkEntry {
       val n = s.read.parquet(s"$d/part.parquet").count()
       val store = graft.fixtures.SyntheticStore.generate(s, math.min(n, 500L), 8)
       MultimodalOps.featurizeImages(s, store).drop("thumbnail", "embedding")
+    }),
+    // full crawl pipeline end-to-end (frontier → bloom dedup → robots →
+    // politeness fetch → normalize+invariants → snapshot commits); output =
+    // the deterministic fetch log. rows-only (resume/invariant assertions
+    // live in CrawlPipelineSpec).
+    "q_crawl_e2e" -> ((s, d) => {
+      val n = s.read.parquet(s"$d/part.parquet").count()
+      val storeDir = s"/tmp/graft_e2e_store_$n"
+      graft.fixtures.SyntheticStore.ensureOnDisk(s, storeDir, n)
+      val root = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+      graft.pipeline.CrawlPipeline.run(s, storeDir, root)
+      graft.pipeline.CrawlPipeline.fetchLogStore(root).read(s).get
+        .select("unit_path", "hosting_id", "id", "pos", "scheduled_ms",
+          "completed_ms", "retries", "status")
     })
   )
 
