@@ -107,4 +107,37 @@ object BloomSeen {
     val bc = spark.sparkContext.broadcast(serialize(bf))
     udf(new MightContain(bc)).apply(org.apache.spark.sql.functions.col(hashCol))
   }
+
+  /** Executor-side cached per-bucket might-contain over a broadcast
+    * bucket→filter map (filters deserialized once per executor).
+    */
+  final class MightContainBucketed(bc: Broadcast[Map[Long, Array[Byte]]])
+      extends ((Long, Long) => Boolean) with Serializable {
+    @transient private lazy val filters: Map[Long, BloomFilter] =
+      bc.value.map { case (b, bytes) => b -> deserialize(bytes) }
+    def apply(bucket: Long, h: Long): Boolean =
+      filters.get(bucket).forall(_.mightContainLong(h)) // unknown bucket → keep (no FN)
+  }
+
+  /** The 10^10-scale form (SURVEY §7.4: ~1.2 GB per 10^9 keys at 1% fpp PER
+    * PARTITION GROUP): one Bloom filter per host bucket, built in a single
+    * distributed pass with the custom `bloom_filter_agg`, broadcast as a
+    * bucket→filter map, consulted per row so each frontier partition only
+    * reads its own bucket's bits.
+    */
+  def perBucketPredicate(spark: SparkSession, seen: DataFrame,
+      bucketCol: String, hashCol: String,
+      expectedItemsPerBucket: Long = 1L << 18, fpp: Double = 0.01): Column = {
+    import org.apache.spark.sql.functions.col
+    // partition-inferred bucket columns read back as int32 — normalize
+    val filters = seen
+      .groupBy(col(bucketCol).cast("long").as("b"))
+      .agg(bloomAgg(col(hashCol), expectedItemsPerBucket, fpp).as("bloom"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bloom"))
+      .toMap
+    val bc = spark.sparkContext.broadcast(filters)
+    udf(new MightContainBucketed(bc))
+      .apply(col(bucketCol).cast("long"), col(hashCol))
+  }
 }

@@ -135,13 +135,23 @@ object TextOps {
   }
 
   /** MinHash signature: k hash permutations approximated by
-    * xxhash64(shingle, seed) minima — the standard one-pass distributed
-    * MinHash (map-side partial min per seed, single shuffle per doc).
+    * xxhash64(seed, shingle) minima, computed IN-ROW over the shingle array
+    * with builtin higher-order functions — zero shuffle (the naive
+    * explode→groupBy formulation shuffles k longs per shingle; this one
+    * never leaves the scan task). Same signature values either way.
     */
   def minhashSignatures(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
-    val sh = shingles(spark, sfDir)
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val words = split(trim(lower(col("text"))), "\\s+")
+    val n = 5
+    val sigCols = (0 until k).map { i =>
+      expr(s"array_min(transform(shingles, s -> xxhash64($i, s)))").as(s"mh_$i")
+    }
+    docs(spark, sfDir)
+      .select(col("doc_id"), words.as("words"))
+      .filter(size(col("words")) >= n)
+      .withColumn("shingles", expr(
+        s"array_distinct(transform(sequence(1, size(words) - ${n - 1}), i -> concat_ws(' ', slice(words, i, $n))))"))
+      .select((col("doc_id") +: sigCols): _*)
   }
 
   /** MinHash + LSH banding: k=64 hashes → 16 bands × 4 rows; docs sharing a

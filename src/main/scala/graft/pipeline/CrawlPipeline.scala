@@ -40,14 +40,37 @@ object CrawlPipeline {
   def resultsStore(tableRoot: String) = new SnapshotStore(s"$tableRoot/results")
   def fetchLogStore(tableRoot: String) = new SnapshotStore(s"$tableRoot/fetch_log")
 
+  /** Seed URL per store id: four platform families by id residue — the
+    * multi-host seed list whose cross-host interleaving the golden crawl
+    * order (priority, seq) defines. Pure function, shared with the spec's
+    * golden expectations.
+    */
+  def seedUrl(id: Long): String = (id % 5) match {
+    case 1 => s"https://github.com/owner${id % 7}/repo$id/blob/main/okh.toml"
+    case 2 => f"https://certification.oshwa.org/us$id%06d.html"
+    case 3 => s"https://www.appropedia.org/Project_$id"
+    case _ => s"https://www.thingiverse.com/thing:$id"
+  }
+
+  /** Canonical unit path each seed resolves to (golden expectation). */
+  def expectedUnitPath(id: Long): String = (id % 5) match {
+    case 1 => s"github.com/owner${id % 7}/repo$id/main/okh.toml"
+    case 2 => f"oshwa.org/us$id%06d"
+    case 3 => s"appropedia.org/Project_$id"
+    case _ => SyntheticStore.unitPath(id)
+  }
+
+  private val seedUrlUdf = udf(seedUrl _)
+
   /** Frontier from the synthetic store dir: one URL per store row (the
-    * store's image_id encodes the thing id). Seeds are (url, seq=id).
+    * store's image_id encodes the payload id; the platform family comes
+    * from the id residue). Seeds are (url, seq=id).
     */
   def frontier(spark: SparkSession, storeDir: String): DataFrame = {
     val ids = spark.read.parquet(storeDir)
       .select(regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long").as("id"))
     ids
-      .withColumn("url", concat(lit("https://www.thingiverse.com/thing:"), col("id")))
+      .withColumn("url", seedUrlUdf(col("id")))
       .withColumn("seq", col("id"))
       .withColumn("canon", UrlFunctions.canonicalize(col("url")))
       .select(col("id"), col("url"), col("seq"),
@@ -89,13 +112,15 @@ object CrawlPipeline {
     val seen = urlSeenStore(tableRoot)
     val fullFrontier = robotsAllowed(frontier(spark, storeDir))
 
-    // URL-seen anti-join with Bloom pre-filter (no false negatives; exact
-    // anti-join on unit_path settles Bloom positives).
+    // URL-seen anti-join with per-bucket Bloom pre-filter (no false
+    // negatives by construction; exact anti-join on unit_path settles the
+    // Bloom positives). One filter per host bucket — the 10^10-scale layout
+    // where each frontier partition consults only its own bucket's bits.
     val candidates = seen.read(spark) match {
       case None => fullFrontier
       case Some(seenDf) =>
-        val seenKeys = seenDf.select(col("unit_path"), col("url_hash"))
-        val might = BloomSeen.mightContainPredicate(spark, seenKeys, "url_hash")
+        val seenKeys = seenDf.select(col("unit_path"), col("url_hash"), col("bucket"))
+        val might = BloomSeen.perBucketPredicate(spark, seenKeys, "bucket", "url_hash")
         val maybeSeen = fullFrontier.filter(might)
           .join(seenKeys.select("unit_path"), Seq("unit_path"), "left_anti")
         val definitelyNew = fullFrontier.filter(!might)

@@ -23,48 +23,52 @@ class CrawlPipelineSpec extends SparkTestBase {
 
   private def freshRoot(): String = Files.createTempDirectory("graft-tables").toString
 
-  test("single full run: every unit resolved exactly once; URL-seen set is the golden set") {
+  test("single full run: every unit resolved exactly once; URL-seen set is the golden multi-host set") {
     val root = freshRoot()
     val s = CrawlPipeline.run(spark, storeDir, root)
     assert(s.attempted == N)
     val seen = CrawlPipeline.urlSeenStore(root).read(spark).get
     // golden URL-seen set = all ids except never-succeeding errors (997)
     val expected = (1L to N).filter(id => id % 997 != 0)
-      .map(SyntheticStore.unitPath).toSet
+      .map(CrawlPipeline.expectedUnitPath).toSet
     val got = seen.select("unit_path").as[String].collect().toSet
     assert(got == expected)
     // statuses partition correctly
     assert(s.robotsDenied == (1L to N).count(_ % 103 == 0))
     assert(s.notFound == (1L to N).count(id => id % 103 != 0 && id % 101 == 0))
+    // all four platform families present
+    val hosts = seen.select("hosting_id").distinct().as[String].collect().toSet
+    assert(hosts == Set("thingiverse.com", "github.com", "oshwa.org", "appropedia.org"))
   }
 
-  test("politeness budget: per-host fetch starts are >= interval apart, order = (priority, seq)") {
+  test("politeness budget per host: starts >= that host's interval apart, order = (priority, seq)") {
     val root = freshRoot()
     CrawlPipeline.run(spark, storeDir, root)
-    val fullLog = CrawlPipeline.fetchLogStore(root).read(spark).get
-      .orderBy("pos").collect()
-    // robots-denied rows issue no request and consume no politeness slot
-    val log = fullLog.filter(_.getAs[String]("status") != "robots_denied")
-    var prevCompleted = Long.MinValue
-    var prevSeq = Long.MinValue
-    log.foreach { r =>
-      val sched = r.getAs[Long]("scheduled_ms")
-      val completed = r.getAs[Long]("completed_ms")
-      val seq = r.getAs[Long]("seq")
-      assert(sched >= prevCompleted || prevCompleted == Long.MinValue,
-        "fetch started before previous completed + interval")
-      assert(seq > prevSeq, "per-host order must follow (priority, seq)")
-      assert(completed - sched >= 1000L, "each fetch consumes >= one 1000ms slot")
-      prevCompleted = completed; prevSeq = seq
+    val fullLog = CrawlPipeline.fetchLogStore(root).read(spark).get.collect()
+    val intervals = Map("thingiverse.com" -> 1000L, "appropedia.org" -> 1000L,
+      "github.com" -> 5000L, "oshwa.org" -> 5000L)
+    for ((host, rows) <- fullLog.groupBy(_.getAs[String]("hosting_id"))) {
+      val ordered = rows.sortBy(_.getAs[Long]("pos"))
+      // pos follows (priority, seq) within the host
+      assert(ordered.map(_.getAs[Long]("seq")).toSeq ==
+        ordered.map(_.getAs[Long]("seq")).sorted.toSeq, s"$host order broken")
+      // robots-denied rows issue no request and consume no politeness slot
+      val fetched = ordered.filter(_.getAs[String]("status") != "robots_denied")
+      val interval = intervals(host)
+      var prevCompleted = Long.MinValue
+      fetched.foreach { r =>
+        val sched = r.getAs[Long]("scheduled_ms")
+        assert(sched >= prevCompleted || prevCompleted == Long.MinValue,
+          s"$host fetch started before previous completed")
+        assert(r.getAs[Long]("completed_ms") - sched >= interval,
+          s"$host fetch shorter than one $interval ms slot")
+        prevCompleted = r.getAs[Long]("completed_ms")
+      }
+      // total virtual time = attempts × interval (budget exactly consumed)
+      val attempts = fetched.map(r => r.getAs[Int]("retries") + 1L).sum
+      assert(fetched.last.getAs[Long]("completed_ms") == attempts * interval,
+        s"$host budget mismatch")
     }
-    var prevSeqAll = Long.MinValue
-    fullLog.foreach { r =>
-      assert(r.getAs[Long]("seq") > prevSeqAll, "pos must follow (priority, seq)")
-      prevSeqAll = r.getAs[Long]("seq")
-    }
-    // total virtual time respects the 1 req/s thingiverse budget
-    val attempts = log.map(r => r.getAs[Int]("retries") + 1L).sum
-    assert(log.last.getAs[Long]("completed_ms") == attempts * 1000L)
   }
 
   test("kill + resume from snapshot == single run (final state identical)") {
@@ -122,11 +126,20 @@ class CrawlPipelineSpec extends SparkTestBase {
     results.unpersist()
   }
 
-  test("golden crawl order: fetch positions follow ascending id (thingiverse F3 semantics)") {
+  test("golden crawl order: ascending id within each host (F1/F3/F4), interleave = (priority, seq) data") {
     val root = freshRoot()
     CrawlPipeline.run(spark, storeDir, root)
-    val order = CrawlPipeline.fetchLogStore(root).read(spark).get
-      .orderBy("pos").select("id").as[Long].collect()
-    assert(order.sameElements(order.sorted), "crawl order must be ascending id scan")
+    val log = CrawlPipeline.fetchLogStore(root).read(spark).get
+      .select("hosting_id", "pos", "id", "priority", "seq").collect()
+    for ((host, rows) <- log.groupBy(_.getAs[String]("hosting_id"))) {
+      val byPos = rows.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("id"))
+      assert(byPos.sameElements(byPos.sorted), s"$host crawl order must be ascending id")
+    }
+    // the global golden order is reconstructible from data columns alone:
+    // sorting by (priority, seq) yields appropedia < github < oshwa < thingiverse
+    val global = log.sortBy(r => (r.getAs[Int]("priority"), r.getAs[Long]("seq")))
+    val hostsInOrder = global.map(_.getAs[String]("hosting_id")).distinct
+    assert(hostsInOrder.toSeq ==
+      Seq("appropedia.org", "github.com", "oshwa.org", "thingiverse.com"))
   }
 }
