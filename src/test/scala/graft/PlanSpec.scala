@@ -81,6 +81,37 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "unbroadcast cartesian product")
   }
 
+  test("CanonicalUnitPath expression: codegen'd, inside the WholeStageCodegen span, equals interpreted eval") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val urls = Seq(
+      "https://www.thingiverse.com/thing:3062487",
+      "https://github.com/o/r/blob/main/okh.toml",
+      "https://raw.githubusercontent.com/o/r/main/okh.toml",
+      "https://certification.oshwa.org/us000123.html",
+      "https://www.appropedia.org/X_Y",
+      "https://example.com/unknown",
+      "not a url", null).toDF("url")
+    val out = urls.select(col("url"),
+      graft.functions.CanonicalUnitPath(col("url")).as("p")).collect()
+    out.foreach { r =>
+      val expected = Option(r.getString(0))
+        .flatMap(graft.model.UrlCanonicalizer.canonicalPath).orNull
+      assert(r.getString(1) == expected, s"mismatch for ${r.getString(0)}")
+    }
+    // the expression must live inside a codegen stage (not a fallback) —
+    // use a file-backed source so the optimizer can't constant-fold it away
+    val df = spark.read.parquet(s"$sf/part.parquet")
+      .select(graft.functions.CanonicalUnitPath(
+        concat(lit("https://www.thingiverse.com/thing:"), col("p_partkey"))).as("p"))
+    val qe = df.queryExecution
+    qe.executedPlan.execute().foreachPartition((_: Iterator[_]) => ())
+    val formatted = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("codegen id"), s"expression fell out of codegen:\n$formatted")
+    assert(formatted.contains("canonical_unit_path"), "expression missing from plan")
+  }
+
   test("crawl pipeline: store payload join is broadcast (bytes never shuffle)") {
     import org.apache.spark.sql.functions._
     val store = graft.fixtures.SyntheticStore.generate(spark, 200, 4)
