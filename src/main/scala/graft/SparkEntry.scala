@@ -40,6 +40,8 @@ object SparkEntry {
     "q_validate" -> ((s, d) => CrawlOps.validate(s, d)),
     // ---- relational anchors ----
     "q1_pricing" -> ((s, d) => RelOps.q1PricingSummary(s, d)),
+    "q6_forecast" -> ((s, d) => RelOps.q6Forecast(s, d)),
+    "q_rollup_metrics" -> ((s, d) => RelOps.rollupMetrics(s, d)),
     "q3_shipping" -> ((s, d) => RelOps.q3Shipping(s, d)),
     "q5_region" -> ((s, d) => RelOps.q5Region(s, d)),
     "q_event_windows" -> ((s, d) => RelOps.eventWindows(s, d)),
@@ -274,6 +276,23 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_rollup_metrics" ->
+      """SELECT event_type,
+        |  CASE WHEN value >= 0 THEN 'nonneg' ELSE 'neg' END AS value_sign,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events
+        |GROUP BY ROLLUP (event_type,
+        |  CASE WHEN value >= 0 THEN 'nonneg' ELSE 'neg' END)""".stripMargin,
     "q3_shipping" ->
       """SELECT l.l_orderkey, o.o_orderdate,
         |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

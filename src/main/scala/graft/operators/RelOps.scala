@@ -75,6 +75,31 @@ object RelOps {
       .agg(sum("rev_cents").as("revenue_cents"), count(lit(1)).as("n_items"))
   }
 
+  /** Selective filter-and-sum (TPC-H Q6 shape): the pure pushdown showcase —
+    * every predicate reaches the parquet scan, no join, one partial+final agg.
+    */
+  def q6Forecast(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(floor(col("l_extendedprice") * col("l_discount") * 100).cast("long"))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_rows"))
+
+  /** Metrics roll-up (SURVEY §2.4 "rollup built-ins available if needed"):
+    * per-(type, status-bucket) counts with subtotal and grand-total rows.
+    */
+  def rollupMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("value_sign",
+        when(col("value") >= 0, "nonneg").otherwise("neg"))
+      .rollup(col("event_type"), col("value_sign"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_value_cents"))
+
   /** Tumbling-window event aggregation (batch expression of the streaming
     * windowed-agg semantics; the streaming twin lives in
     * graft.streaming.EventStream). 1-hour tumbling windows per event_type.

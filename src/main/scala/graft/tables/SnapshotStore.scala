@@ -81,23 +81,31 @@ final class SnapshotStore(val root: String) {
     snapshotFromJson(j.asInstanceOf[Json.JObj])
   }
 
+  /** Time travel: read the table as of snapshot `version` (every snapshot
+    * lists its full file set, so any committed version stays readable until
+    * its files are physically expired).
+    */
+  def readAt(spark: SparkSession, version: Long): Option[DataFrame] =
+    readFiles(spark, readSnapshot(version).files)
+
   /** Read the current table state (union of all committed data files).
     * Files are grouped by commit and read with that commit's `basePath` so
     * the partition column (encoded in `<col>=<value>` directory names) is
     * reconstructed. Returns None when the table has no committed snapshot.
     */
   def read(spark: SparkSession): Option[DataFrame] =
-    currentSnapshot.flatMap { snap =>
-      if (snap.files.isEmpty) None
-      else {
-        val byCommit = snap.files.groupBy(_.path.split('/').take(2).mkString("/"))
-        val parts = byCommit.toSeq.sortBy(_._1).map { case (commitDir, files) =>
-          spark.read
-            .option("basePath", s"$root/$commitDir")
-            .parquet(files.map(f => s"$root/${f.path}"): _*)
-        }
-        Some(parts.reduce(_ unionByName _))
+    currentSnapshot.flatMap(snap => readFiles(spark, snap.files))
+
+  private def readFiles(spark: SparkSession, files: Vector[DataFileMeta]): Option[DataFrame] =
+    if (files.isEmpty) None
+    else {
+      val byCommit = files.groupBy(_.path.split('/').take(2).mkString("/"))
+      val parts = byCommit.toSeq.sortBy(_._1).map { case (commitDir, fs) =>
+        spark.read
+          .option("basePath", s"$root/$commitDir")
+          .parquet(fs.map(f => s"$root/${f.path}"): _*)
       }
+      Some(parts.reduce(_ unionByName _))
     }
 
   /** Append `df` as a new commit. `partitionCol` drives both the on-disk

@@ -51,6 +51,18 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(snap.version == 1L)
   }
 
+  test("time travel: readAt(version) sees exactly that snapshot's rows") {
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.append(spark, Seq((1L, "a")).toDF("id", "pk"), "pk")
+    store.append(spark, Seq((2L, "b"), (3L, "a")).toDF("id", "pk"), "pk")
+    assert(store.readAt(spark, 0L).get.count() == 1)
+    assert(store.readAt(spark, 1L).get.count() == 3)
+    assert(store.read(spark).get.count() == 3)
+    // per-file row counts recorded from footers
+    assert(store.readSnapshot(1L).files.forall(_.rows >= 1L))
+  }
+
   test("truncate = start_over semantics (R6)") {
     val root = tmp()
     val store = new SnapshotStore(root)
