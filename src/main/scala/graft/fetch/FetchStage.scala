@@ -70,11 +70,19 @@ object FetchStage {
     else if (id % 997 == 0) Outcome("error", Int.MaxValue) // never succeeds
     else Outcome("ok", 0)
 
-  final case class Politeness(minIntervalMs: Long, maxRetries: Int)
+  /** Per-host politeness budget: fixed interval between requests (R2,
+    * rate_limit.py:37-50) plus an optional request budget per window (R1,
+    * rate_limit.py:15-34 — e.g. GitHub code search: 30 requests/window,
+    * github.py:229; exhausted budget sleeps until the window resets).
+    * budgetRequests = 0 disables the window budget.
+    */
+  final case class Politeness(minIntervalMs: Long, maxRetries: Int,
+      budgetRequests: Int = 0, windowMs: Long = 0L)
 
   def defaultPoliteness: Map[String, Politeness] = Map(
     "thingiverse.com" -> Politeness(1000L, 3),
-    "github.com" -> Politeness(5000L, 3),
+    // GitHub: 30 requests per 60s window on top of the 5s secondary limit
+    "github.com" -> Politeness(5000L, 3, budgetRequests = 30, windowMs = 60000L),
     "oshwa.org" -> Politeness(5000L, 3),
     "appropedia.org" -> Politeness(1000L, 3),
     "gitlab.com" -> Politeness(5000L, 3),
@@ -114,27 +122,46 @@ object FetchStage {
       .mapPartitions { it =>
         val pol = politenessBc.value
         val saltN = saltsBc.value
-        // per (host, salt) virtual clock: next allowed fetch start
+        // per (host, salt): virtual clock + requests used in current window
         val clock = mutable.Map.empty[(String, Int), Long]
+        val windowUsed = mutable.Map.empty[(String, Int), (Long, Int)] // (windowStart, used)
         it.map { case (unitPath, host, id, priority, seq, urlHash, bucket,
             robotsDenied, salt, pos) =>
           val key = (host, salt)
-          val start = clock.getOrElse(key, 0L)
+          val start0 = clock.getOrElse(key, 0L)
           if (robotsDenied) {
             // robots gate (R5): no request issued, no politeness slot spent
             FetchLogRow(unitPath, host, id, priority, seq, urlHash, bucket, pos,
-              start, start, 0, "robots_denied")
+              start0, start0, 0, "robots_denied")
           } else {
             val p = pol.getOrElse(host, Politeness(1000L, 3))
             // budget split: a host salted into k buckets fetches every
             // k × interval per bucket, preserving the aggregate host rate
-            val effInterval = p.minIntervalMs * math.max(1, saltN(host))
+            val k = math.max(1, saltN(host))
+            val effInterval = p.minIntervalMs * k
             val o = outcomeFn(id)
             val attempts = math.min(o.transientFailures, p.maxRetries)
             val status =
               if (o.status != "ok") o.status
               else if (o.transientFailures > p.maxRetries) "error"
               else "ok"
+            // R1 window budget (split across salts like the interval):
+            // when the remaining budget can't cover this fetch's attempts,
+            // wait for the window reset (rate_limit.py:15-34)
+            var start = start0
+            if (p.budgetRequests > 0 && p.windowMs > 0) {
+              val perBucketBudget = math.max(1, p.budgetRequests / k)
+              val (winStart, used) =
+                windowUsed.getOrElse(key, (start / p.windowMs * p.windowMs, 0))
+              val curWin = math.max(winStart, start / p.windowMs * p.windowMs)
+              val usedNow = if (curWin > winStart) 0 else used
+              if (usedNow + attempts + 1 > perBucketBudget) {
+                start = curWin + p.windowMs // sleep until reset
+                windowUsed(key) = (start, attempts + 1)
+              } else {
+                windowUsed(key) = (curWin, usedNow + attempts + 1)
+              }
+            }
             // each attempt consumes one politeness slot
             val completed = start + effInterval * (attempts + 1)
             clock(key) = completed

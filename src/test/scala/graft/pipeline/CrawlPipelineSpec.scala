@@ -64,10 +64,23 @@ class CrawlPipelineSpec extends SparkTestBase {
           s"$host fetch shorter than one $interval ms slot")
         prevCompleted = r.getAs[Long]("completed_ms")
       }
-      // total virtual time = attempts × interval (budget exactly consumed)
       val attempts = fetched.map(r => r.getAs[Int]("retries") + 1L).sum
-      assert(fetched.last.getAs[Long]("completed_ms") == attempts * interval,
-        s"$host budget mismatch")
+      if (host == "github.com") {
+        // R1 window budget: ≤30 attempts per 60 s window (github.py:229),
+        // so total time is AT LEAST the interval-bound and any window of
+        // starts carries at most the budget
+        assert(fetched.last.getAs[Long]("completed_ms") >= attempts * interval,
+          s"$host ran faster than its interval budget")
+        val byWindow = fetched.groupBy(_.getAs[Long]("scheduled_ms") / 60000L)
+        byWindow.foreach { case (w, rows) =>
+          val used = rows.map(r => r.getAs[Int]("retries") + 1L).sum
+          assert(used <= 30L, s"$host window $w used $used > 30 requests")
+        }
+      } else {
+        // total virtual time = attempts × interval (budget exactly consumed)
+        assert(fetched.last.getAs[Long]("completed_ms") == attempts * interval,
+          s"$host budget mismatch")
+      }
     }
   }
 
