@@ -267,6 +267,23 @@ object Normalizers {
     val dims = ScalarFunctions.openScadDimsUdf(
       col("m.`outer-dimensions`.openSCAD"), col("m.`outer-dimensions`.unit"))
 
+    // Appropedia v1 hack (manifest.py:344-358): a comma-separated
+    // "User:X, User:Y" licensor string becomes one agent per user with the
+    // User: prefix stripped and a wiki URL; all other platforms parse the
+    // single person string (C21)
+    val approLicensors = expr(
+      """transform(split(m.licensor, ','), u -> struct(
+        |  replace(trim(u), 'User:', '') as name,
+        |  cast(null as string) as email,
+        |  concat('https://www.appropedia.org/', trim(u)) as url))""".stripMargin)
+    val licensorCol =
+      when(col("m.repo").contains("appropedia.org") && col("m.licensor").isNotNull,
+        approLicensors)
+        .otherwise(array(struct(
+          person.getField("name").as("name"),
+          person.getField("email").as("email"),
+          lit(null).cast("string").as("url"))))
+
     m.select(
       col("m.repo").as("project_id"),
       col("m.name").as("name"),
@@ -275,10 +292,7 @@ object Normalizers {
       // first license of the SPDX expression (C12 + manifest.py:334-337
       // silently keeps the first)
       ScalarFunctions.spdxSplitUdf(col("m.license")).getItem(0).as("license_spdx"),
-      array(struct(
-        person.getField("name").as("name"),
-        person.getField("email").as("email"),
-        lit(null).cast("string").as("url"))).as("licensor"),
+      licensorCol.as("licensor"),
       functionCol(col("m.function")).as("function"),
       lit(null).cast("string").as("trl"),
       lit(null).cast("string").as("drl"),

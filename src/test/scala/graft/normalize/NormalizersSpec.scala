@@ -149,6 +149,24 @@ class NormalizersSpec extends SparkTestBase {
     assert(exp == Seq("cad/frame.stl", "cad/frame.3mf"))
   }
 
+  test("manifest: appropedia v1 comma-list licensor hack (ref manifest.py:344-358)") {
+    val yaml =
+      """title: Open Source Scale
+        |name: Open Source Scale
+        |repo: https://www.appropedia.org/Open_Source_Scale
+        |version: "0.9"
+        |license: CC-BY-SA-4.0
+        |licensor: "User:Alice, User:Bob"
+        |function: weighs
+        |""".stripMargin
+    val m = Normalizers.manifest(spark, Seq(("yml", yaml)).toDF("fmt", "content"))
+    val lic = m.select(expr("transform(licensor, l -> struct(l.name, l.url))"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(lic.map(_.getString(0)) == Seq("Alice", "Bob"))
+    assert(lic.map(_.getString(1)) == Seq(
+      "https://www.appropedia.org/User:Alice", "https://www.appropedia.org/User:Bob"))
+  }
+
   test("manifest: YAML form parses too (C15)") {
     val yaml =
       """name: Yaml Thing
