@@ -38,6 +38,9 @@ object SparkEntry {
     "q_image_dedup" -> ((s, d) => CrawlOps.imageDedup(s, d)),
     "q_part_names" -> ((s, d) => CrawlOps.partNames(s, d)),
     "q_validate" -> ((s, d) => CrawlOps.validate(s, d)),
+    "q_license_merge" -> ((s, d) => CrawlOps.licenseMerge(s, d)),
+    "q_newest_per_group" -> ((s, d) => CrawlOps.newestPerGroup(s, d)),
+    "q_host_counts" -> ((s, d) => CrawlOps.hostCounts(s, d)),
     // ---- relational anchors ----
     "q1_pricing" -> ((s, d) => RelOps.q1PricingSummary(s, d)),
     "q6_forecast" -> ((s, d) => RelOps.q6Forecast(s, d)),
@@ -267,6 +270,36 @@ object SparkEntry {
         |    CASE WHEN lang NOT IN ('en','de','fr','es','it','pt','nl') THEN 'bad-lang' END,
         |    CASE WHEN length(source) = 0 THEN 'no-source' END) = '' AS ok
         |FROM documents""".stripMargin,
+    "q_license_merge" ->
+      """WITH base(norm_name, name, is_osi, is_spdx) AS (VALUES
+        |  ('mit', 'MIT', true, true),
+        |  ('apache-2.0', 'Apache License 2.0', true, true),
+        |  ('cc-by-4.0', 'CC Attribution 4.0', false, true),
+        |  ('gpl-3.0-or-later', 'GPL v3+', true, true)),
+        |extra(norm_name, x_name, x_is_osi) AS (VALUES
+        |  ('cc-by-4.0', 'Creative Commons Attribution 4.0', NULL),
+        |  ('cern-ohl-s-2.0', 'CERN OHL strong', false))
+        |SELECT coalesce(b.norm_name, e.norm_name) AS norm_name,
+        |  coalesce(e.x_name, b.name) AS name,
+        |  coalesce(e.x_is_osi, b.is_osi) AS is_osi,
+        |  coalesce(b.is_spdx, false) AS is_spdx,
+        |  r.r_regionkey
+        |FROM base b FULL OUTER JOIN extra e ON b.norm_name = e.norm_name
+        |CROSS JOIN (SELECT r_regionkey FROM region) r""".stripMargin,
+    "q_newest_per_group" ->
+      """WITH rn AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey) AS r
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey AS newest_orderkey, o_orderdate AS newest_date
+        |FROM rn WHERE r = 1""".stripMargin,
+    "q_host_counts" ->
+      s"""WITH $C
+         |SELECT hosting_id, count(*) AS n_units, CAST(sum(cnt) AS BIGINT) AS n_seed_urls
+         |FROM (SELECT unit_path, hosting_id, count(*) AS cnt FROM canon
+         |      GROUP BY unit_path, hosting_id)
+         |GROUP BY hosting_id""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

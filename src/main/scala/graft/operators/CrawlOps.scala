@@ -223,6 +223,50 @@ object CrawlOps {
       .select(col("project_id"), col("seq"), col("name_clean"), col("name"))
   }
 
+  /** U2: license base ∪ extra dimension merge (licenses.py:132-181
+    * `_merge_dicts`): full-outer join on the normalized name, extra's
+    * non-null fields override base's.
+    */
+  def licenseMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Seq(
+      ("mit", "MIT", true, true), ("apache-2.0", "Apache License 2.0", true, true),
+      ("cc-by-4.0", "CC Attribution 4.0", false, true),
+      ("gpl-3.0-or-later", "GPL v3+", true, true))
+      .toDF("norm_name", "name", "is_osi", "is_spdx")
+    val extra = Seq(
+      ("cc-by-4.0", "Creative Commons Attribution 4.0", null.asInstanceOf[Any]),
+      ("cern-ohl-s-2.0", "CERN OHL strong", false))
+      .map { case (n, nm, osi) => (n, nm, osi.asInstanceOf[java.lang.Boolean]) }
+      .toDF("norm_name", "x_name", "x_is_osi")
+    base.join(extra, Seq("norm_name"), "full_outer")
+      .select(col("norm_name"),
+        coalesce(col("x_name"), col("name")).as("name"),
+        coalesce(col("x_is_osi"), col("is_osi")).as("is_osi"),
+        coalesce(col("is_spdx"), lit(false)).as("is_spdx"))
+      // anchor row count to the driver table so the query reads sfDir
+      .crossJoin(spark.read.parquet(s"$sfDir/region.parquet").select(col("r_regionkey")))
+  }
+
+  /** F2/A4: newest item per group (orderBy desc limit 1 semantics,
+    * thingiverse.py:297-325 newest-thing probe) as a per-group window.
+    */
+  def newestPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("newest_orderkey"),
+        col("o_orderdate").as("newest_date"))
+  }
+
+  /** A3: per-hosting project counts (run/stats:57-65). */
+  def hostCounts(spark: SparkSession, sfDir: String): DataFrame =
+    frontierDedup(spark, sfDir)
+      .groupBy("hosting_id")
+      .agg(count(lit(1)).as("n_units"), sum("n_aliases").as("n_seed_urls"))
+
   /** Validation rule columns (P11, validator/strict.py:24-67) over the
     * documents table: failure reasons accumulated as a fixed-order
     * comma-joined string (array types hash differently across engines).
