@@ -432,9 +432,11 @@ object SparkEntry {
         |        i -> array_to_string(words[i:i+4], ' '))) AS shingle
         |    FROM w WHERE len(words) >= 5)),
         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+        |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT i.doc_a, i.doc_b, i.inter,
         |  CAST(floor(i.inter * 1000.0 / (sa.n_shingles + sb.n_shingles - i.inter)) AS BIGINT) AS jaccard_permille

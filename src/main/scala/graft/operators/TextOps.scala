@@ -115,12 +115,24 @@ object TextOps {
   /** N-gram Jaccard near-dup pairs: candidates share ≥1 shingle (inverted-
     * index join — never the quadratic pair space), similarity =
     * |∩| / |∪| in permille. Output pairs with ≥ `minPermille`.
+    *
+    * `maxDf` drops stop-shingles (document frequency > maxDf) from the
+    * index — a boilerplate 5-gram shared by 10⁶ documents would otherwise
+    * contribute 10¹² join pairs. Intersections count only sub-threshold
+    * shingles, so the reported similarity is a LOWER BOUND when a pair also
+    * shares boilerplate (standard near-dup practice: boilerplate overlap is
+    * not evidence of duplication). The DuckDB oracle applies the identical
+    * filter.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String, minPermille: Int = 100): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String, minPermille: Int = 100,
+      maxDf: Int = 1000): DataFrame = {
     val sh = shingles(spark, sfDir).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val indexed = sh.join(rare, Seq("shingle"))
+    val a = indexed.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = indexed.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = a.join(b, "shingle")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
