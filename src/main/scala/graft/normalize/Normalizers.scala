@@ -290,8 +290,9 @@ object Normalizers {
       col("m.repo").as("repo"),
       col("m.version").as("version"),
       // first license of the SPDX expression (C12 + manifest.py:334-337
-      // silently keeps the first)
-      ScalarFunctions.spdxSplitUdf(col("m.license")).getItem(0).as("license_spdx"),
+      // silently keeps the first); invalid expressions split to an empty
+      // array → null license, not an ANSI index error (errors-as-data)
+      get(ScalarFunctions.spdxSplitUdf(col("m.license")), lit(0)).as("license_spdx"),
       licensorCol.as("licensor"),
       functionCol(col("m.function")).as("function"),
       lit(null).cast("string").as("trl"),

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.fixtures.SyntheticStore
+
+/** The reference's command surface as library calls (SURVEY §3.1/§3.3). */
+class KrawlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("list fetchers = the platform registry (ref fetcher/factory.py:31-38)") {
+    assert(Krawl.listFetchers.toSet == Set("appropedia.org", "codeberg.org",
+      "github.com", "gitlab.com", "oshwa.org", "thingiverse.com"))
+  }
+
+  test("fetch url: selected units fetched, bad URLs reported, url_seen committed (§3.1)") {
+    val storeDir = Files.createTempDirectory("graft-krawl-store").toString
+    SyntheticStore.ensureOnDisk(spark, storeDir, 60)
+    val root = Files.createTempDirectory("graft-krawl-tables").toString
+    // ids 5 and 10 are thingiverse-family (5%5==0, 10%5==0)
+    val report = Krawl.fetchUrls(spark, Seq(
+      "https://www.thingiverse.com/thing:5",
+      "https://www.thingiverse.com/thing:10",
+      "https://www.thingiverse.com/thing:99999", // not in store
+      "https://example.com/nope", // unknown platform
+      "garbage"), storeDir, root)
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
+    assert(report("https://www.thingiverse.com/thing:5") == "ok")
+    assert(report("https://www.thingiverse.com/thing:10") == "ok")
+    assert(report("https://www.thingiverse.com/thing:99999") == "not_in_store")
+    assert(report("https://example.com/nope").startsWith("parse_error"))
+    assert(report("garbage").startsWith("parse_error"))
+    val seen = graft.pipeline.CrawlPipeline.urlSeenStore(root).read(spark).get
+      .select("unit_path").as[String].collect().toSet
+    assert(seen == Set("thingiverse.com/0/5", "thingiverse.com/0/10"))
+  }
+
+  test("convert: manifest → normalized → TOML + canonical JSON emissions (§3.3)") {
+    val toml =
+      """name = "Conv Thing"
+        |repo = "https://github.com/a/b"
+        |version = "2.0"
+        |license = "MIT"
+        |licensor = "Ann"
+        |function = "converts"
+        |""".stripMargin
+    val out = Krawl.convert(spark, Seq(("toml", toml)).toDF("fmt", "content")).collect()(0)
+    assert(out.getAs[String]("toml").contains("name = \"Conv Thing\""))
+    assert(out.getAs[String]("json").contains("\"license\": \"MIT\""))
+    // emitted TOML round-trips through our parser
+    val back = graft.formats.Toml.parse(out.getAs[String]("toml"))
+    assert(back.str("version") == "2.0")
+  }
+
+  test("validate: rule columns over normalized projects (§3.3, strict.py subset)") {
+    val good = ("toml",
+      "name = \"Ok\"\nrepo = \"https://x.org/a\"\nversion = \"1\"\nlicense = \"MIT\"\nlicensor = \"A\"\n")
+    val badLicense = ("toml",
+      "name = \"Bad\"\nrepo = \"https://x.org/b\"\nversion = \"1\"\nlicense = \"MIT CC0-1.0\"\nlicensor = \"A\"\n")
+    val projects = graft.normalize.Normalizers.manifest(spark,
+      Seq(good, badLicense).toDF("fmt", "content"))
+    val v = Krawl.validate(projects)
+      .select("name", "ok", "reasons").collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(v("Ok") == (true, ""))
+    assert(!v("Bad")._1 && v("Bad")._2.contains("unknown-license"))
+  }
+}
