@@ -46,6 +46,8 @@ object SparkEntry {
     "q6_forecast" -> ((s, d) => RelOps.q6Forecast(s, d)),
     "q_rollup_metrics" -> ((s, d) => RelOps.rollupMetrics(s, d)),
     "q3_shipping" -> ((s, d) => RelOps.q3Shipping(s, d)),
+    "q12_shipmode" -> ((s, d) => RelOps.q12Shipmode(s, d)),
+    "q14_promo" -> ((s, d) => RelOps.q14Promo(s, d)),
     "q5_region" -> ((s, d) => RelOps.q5Region(s, d)),
     "q_event_windows" -> ((s, d) => RelOps.eventWindows(s, d)),
     "q_sessionize" -> ((s, d) => RelOps.sessionize(s, d)),
@@ -338,6 +340,25 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY revenue_cents DESC, l.l_orderkey
         |LIMIT 10""".stripMargin,
+    "q12_shipmode" ->
+      """SELECT l.l_linestatus,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q14_promo" ->
+      """WITH j AS (
+        |  SELECT CASE WHEN starts_with(p.p_type, 'PROMO')
+        |           THEN floor(l.l_extendedprice * (1.0 - l.l_discount) * 100) ELSE 0 END AS promo,
+        |         floor(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS total
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1995-04-01 00:00:00')
+        |SELECT CAST(sum(promo) AS BIGINT) AS promo_cents,
+        |       CAST(sum(total) AS BIGINT) AS total_cents,
+        |       CAST(floor(sum(promo) * 1000.0 / sum(total)) AS BIGINT) AS promo_permille
+        |FROM j""".stripMargin,
     "q5_region" ->
       """SELECT r.r_name, n.n_name,
         |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,

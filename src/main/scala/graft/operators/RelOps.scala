@@ -100,6 +100,44 @@ object RelOps {
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * 100).cast("long")).as("sum_value_cents"))
 
+  /** Conditional aggregation (TPC-H Q12 shape): per-priority-class counts
+    * via CASE inside SUM, after a join.
+    */
+  def q12Shipmode(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linestatus")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+  }
+
+  /** Ratio metric (TPC-H Q14 shape): promo revenue share in permille
+    * (integer-floored for cross-engine determinism).
+    */
+  def q14Promo(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+    val part = spark.read.parquet(s"$sfDir/part.parquet").select("p_partkey", "p_type")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100))
+          .otherwise(0L)).as("promo_cents"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100))
+          .as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        floor(col("promo_cents") * 1000.0 / col("total_cents")).cast("long")
+          .as("promo_permille"))
+  }
+
   /** Tumbling-window event aggregation (batch expression of the streaming
     * windowed-agg semantics; the streaming twin lives in
     * graft.streaming.EventStream). 1-hour tumbling windows per event_type.
