@@ -45,7 +45,8 @@ object Bench {
     * to cover scan-agg, shuffle-join, window, LSH fan-out, and ANN shapes).
     */
   val headline: Seq[String] = Seq(
-    "q1_pricing", "q3_shipping", "q5_region", "q_event_windows", "q_sessionize",
+    "q1_pricing", "q3_shipping", "q5_region", "q6_forecast", "q12_shipmode",
+    "q14_promo", "q_event_windows", "q_sessionize",
     "q_frontier_dedup", "q_crawl_order", "q_politeness_schedule",
     "q_dedup_exact", "q_fingerprint", "q_quality", "q_lang_id",
     "q_ngram_jaccard", "q_minhash_lsh", "q_simhash_pairs",
