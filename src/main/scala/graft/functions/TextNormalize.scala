@@ -32,12 +32,28 @@ object TextNormalize {
           i = if (end < 0) html.length else end + 1
         case '&' =>
           val semi = html.indexOf(';', i)
-          if (semi > i && semi - i <= 10) {
+          if (semi > i && semi - i <= 32) {
             val name = html.substring(i + 1, semi)
-            if (name.startsWith("#x") || name.startsWith("#X")) {
-              sb.append(Integer.parseInt(name.substring(2), 16).toChar); i = semi + 1
-            } else if (name.startsWith("#")) {
-              sb.append(Integer.parseInt(name.substring(1)).toChar); i = semi + 1
+            if (name.startsWith("#")) {
+              // numeric character reference. Malformed digits ('&#foo;',
+              // '&#x;') are DATA, not errors (HTMLParser emits them
+              // literally); out-of-range/surrogate code points map to U+FFFD
+              // (html._replace_charref); supplementary-plane code points
+              // need Character.toChars, not the truncating .toChar.
+              val hex = name.length > 1 && (name.charAt(1) == 'x' || name.charAt(1) == 'X')
+              val digits = if (hex) name.substring(2) else name.substring(1)
+              val radix = if (hex) 16 else 10
+              if (digits.isEmpty || !digits.forall(c => Character.digit(c, radix) >= 0)) {
+                sb.append('&'); i += 1
+              } else {
+                val cp =
+                  try java.lang.Long.parseLong(digits, radix)
+                  catch { case _: NumberFormatException => Long.MaxValue }
+                if (cp == 0L || cp > 0x10FFFFL || (cp >= 0xD800L && cp <= 0xDFFFL))
+                  sb.append('�')
+                else sb.appendAll(Character.toChars(cp.toInt))
+                i = semi + 1
+              }
             } else entities.get(name) match {
               case Some(rep) => sb.append(rep); i = semi + 1
               case None      => sb.append('&'); i += 1

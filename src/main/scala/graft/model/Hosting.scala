@@ -97,9 +97,12 @@ final case class ForgeUnit(
   */
 final case class WebUnit(hostingId: HostingId, projectId: String) extends HostingUnitId {
   def toPathStr: String = hostingId match {
-    case HostingId.ThingiverseCom =>
+    case HostingId.ThingiverseCom if projectId.nonEmpty && projectId.forall(_.isDigit)
+        && projectId.length <= 18 =>
       val group = projectId.toLong / 10000
       s"${hostingId.id}/$group/$projectId"
+    // defensive: a directly-constructed WebUnit with a non-numeric thing id
+    // must never throw inside a Spark expression — fall back to ungrouped
     case _ => s"${hostingId.id}/$projectId"
   }
 
@@ -232,6 +235,11 @@ object UrlCanonicalizer {
           val idParts = p(0).split(":")
           if (idParts.length < 2 || idParts(0) != "thing")
             Left(ParseFailure(url, s"not a thing URL: '$url'"))
+          else if (idParts(1).isEmpty || !idParts(1).forall(_.isDigit))
+            // thing ids are numeric; a non-numeric id must be a parse
+            // failure here, not a NumberFormatException later in toPathStr
+            // (which runs inside the codegen'd CanonicalUnitPath expression)
+            Left(ParseFailure(url, s"non-numeric thing id: '${idParts(1)}'"))
           else Right(WebUnit(HostingId.ThingiverseCom, idParts(1)))
         }
       case Some(other) => Left(ParseFailure(url, s"not a web-by-id hosting id: $other"))

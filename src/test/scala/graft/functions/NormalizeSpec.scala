@@ -23,6 +23,22 @@ class NormalizeSpec extends AnyFunSuite {
     assert(TextNormalize.stripHtml("5 &unknown; 6") == "5 &unknown; 6")
   }
 
+  test("strip_html: malformed/extreme character references are data, not crashes") {
+    // malformed numeric refs are emitted literally (HTMLParser charref regex
+    // does not match them) — these used to throw NumberFormatException
+    assert(TextNormalize.stripHtml("a &#foo; b") == "a &#foo; b")
+    assert(TextNormalize.stripHtml("a &#x; b") == "a &#x; b")
+    assert(TextNormalize.stripHtml("a &#; b") == "a &#; b")
+    // out-of-range / surrogate code points → U+FFFD (html._replace_charref)
+    assert(TextNormalize.stripHtml("&#99999999999;") == "�")
+    assert(TextNormalize.stripHtml("&#1114112;") == "�") // 0x110000
+    assert(TextNormalize.stripHtml("&#xD800;") == "�")
+    assert(TextNormalize.stripHtml("&#0;") == "�")
+    // supplementary plane survives as a surrogate PAIR, not a truncated char
+    assert(TextNormalize.stripHtml("&#128512;") == "😀")
+    assert(TextNormalize.stripHtml("&#x1F600;") == "😀")
+  }
+
   test("fix_encoding: cp1252-mojibake em dash repaired (ref util.py:71-72)") {
     assert(TextNormalize.fixEncoding("Project 7 â€” sensor") == "Project 7 — sensor")
     assert(TextNormalize.fixEncoding("ok plain") == "ok plain")

@@ -100,6 +100,16 @@ class HostingSpec extends AnyFunSuite {
     assert(UrlCanonicalizer.parse("ftp://github.com/a/b").isLeft)
   }
 
+  test("non-numeric thing id is a parse failure, not a toPathStr crash") {
+    // used to parse successfully and then throw NumberFormatException inside
+    // the codegen'd CanonicalUnitPath expression at toPathStr
+    assert(UrlCanonicalizer.parse("https://www.thingiverse.com/thing:abc").isLeft)
+    assert(UrlCanonicalizer.canonicalPath("https://www.thingiverse.com/thing:abc").isEmpty)
+    assert(UrlCanonicalizer.parse("https://www.thingiverse.com/thing:").isLeft)
+    // a directly-constructed non-numeric WebUnit must still never throw
+    assert(WebUnit(HostingId.ThingiverseCom, "abc").toPathStr == "thingiverse.com/abc")
+  }
+
   test("download URL builders (ref hosting_unit_forge.py:185-225)") {
     val gh = ForgeUnit(HostingId.GithubCom, "o", "r", None, Some("main"), None)
     assert(gh.downloadUrl(Some("okh.toml")) ==
