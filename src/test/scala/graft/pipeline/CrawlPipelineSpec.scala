@@ -106,6 +106,35 @@ class CrawlPipelineSpec extends SparkTestBase {
     assert(ids.length == ids.distinct.length)
   }
 
+  test("crash between payload commits and url_seen commit: resumed slice is " +
+      "skipped, not appended twice (idempotent resume)") {
+    val root = freshRoot()
+    CrawlPipeline.run(spark, storeDir, root, Some(150L)) // slice 1, clean
+    // slice 2 crashes AFTER results/fetch_log commit, BEFORE url_seen commit
+    intercept[RuntimeException] {
+      CrawlPipeline.run(spark, storeDir, root, Some(150L), crashBeforeSeenCommit = true)
+    }
+    // resume re-selects the same slice (url_seen unchanged) and must skip
+    // the already-committed payload appends
+    CrawlPipeline.run(spark, storeDir, root, Some(150L))
+    CrawlPipeline.runUntilDone(spark, storeDir, root, 150L) // finish the store
+    val ids = CrawlPipeline.resultsStore(root).read(spark).get
+      .select("image_id").as[String].collect()
+    assert(ids.length == ids.distinct.length, "duplicate results rows after crash+resume")
+    // final state identical to a clean one-shot run
+    val rootClean = freshRoot()
+    CrawlPipeline.run(spark, storeDir, rootClean)
+    def resultSet(r: String) = CrawlPipeline.resultsStore(r).read(spark).get
+      .select("image_id", "caption", "phash").as[(String, String, Long)].collect().toSet
+    assert(resultSet(root) == resultSet(rootClean))
+    // fetch_log may legitimately carry retryable-error rows repeated across
+    // runs, but OK rows appear exactly once
+    val okDups = CrawlPipeline.fetchLogStore(root).read(spark).get
+      .filter(col("status") === "ok").groupBy("unit_path").count()
+      .filter(col("count") > 1).count()
+    assert(okDups == 0, "duplicate ok rows in fetch_log after crash+resume")
+  }
+
   test("resume does not refetch: second run after completion attempts only retryable errors") {
     val root = freshRoot()
     CrawlPipeline.run(spark, storeDir, root)
