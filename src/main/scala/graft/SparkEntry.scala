@@ -86,13 +86,64 @@ object SparkEntry {
       graft.normalize.Normalizers.thingiverse(s, hits)
         .select("project_id", "name", "repo", "version", "license_spdx", "function", "trl", "drl")
     }),
+    // full-breadth manifest normalization (manifest.py:214-545): TOML gen →
+    // parse → normalize → scalar projection, oracle-checked against the
+    // closed-form expectation computed directly from the key
+    "q_normalize_manifest" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val raw = s.read.parquet(s"$d/part.parquet").select(col("p_partkey"))
+        .as[Long].map(k => (k, graft.fixtures.SyntheticManifests.toml(k)))
+        .toDF("k", "content").withColumn("fmt", lit("toml"))
+      val p = graft.normalize.Normalizers.manifest(s, raw)
+      p.select(
+        col("project_id"), col("name"), col("version"), col("release"),
+        col("license_spdx"),
+        get(col("licensor"), lit(0)).getField("name").as("licensor_name"),
+        get(col("licensor"), lit(0)).getField("email").as("licensor_email"),
+        get(col("organization"), lit(0)).getField("name").as("org_name"),
+        col("trl"), col("drl"), col("cpc_patent_class"), col("tsdc"),
+        get(col("readme"), lit(0)).getField("path").as("readme_path"),
+        get(col("readme"), lit(0)).getField("url").as("readme_url"),
+        get(col("bom"), lit(0)).getField("path").as("bom_path"),
+        floor(col("mass") * 10).cast("long").as("mass_dg"),
+        floor(coalesce(col("outer_dimensions.width"), lit(-1))).cast("long").as("width_mm"),
+        size(col("part")).cast("long").as("n_parts"),
+        size(col("software")).cast("long").as("n_software"),
+        get(col("part"), lit(0)).getField("material").as("part1_material"),
+        get(col("part"), lit(1)).getField("tsdc").as("part2_tsdc"),
+        size(col("documentation_language")).cast("long").as("n_langs"),
+        size(col("attestation")).cast("long").as("n_attestations"),
+        get(col("software"), lit(0)).getField("license_spdx").as("sw_license"))
+    }),
+    // full 3-graph RDF serialization (C24 parity with rdf_serializer.py:
+    // 75-869): every project → toml/meta/data graphs, exploded to the
+    // queryable triple table with a `graph` column. rows-only (goldens with
+    // exact turtle + per-graph triple parity live in SerializersSpec).
     "q_rdf_triples" -> ((s, d) => {
+      import s.implicits._
       import org.apache.spark.sql.functions._
       val hits = s.read.parquet(s"$d/part.parquet").select(to_json(struct(
         col("p_partkey").as("id"), col("p_name").as("name"),
         concat(lit("https://www.thingiverse.com/thing:"), col("p_partkey")).as("public_url"),
-        lit("GNU - GPL").as("license"))).as("json"))
-      graft.serialize.Serializers.triples(graft.normalize.Normalizers.thingiverse(s, hits))
+        lit("2020-01-02T03:04:05+00:00").as("modified"),
+        concat(lit("Makes "), col("p_type"), lit(" parts.")).as("description"),
+        lit("GNU - GPL").as("license"),
+        struct(lit("A").as("first_name"), lit("B").as("last_name"),
+          lit("https://www.thingiverse.com/a_b").as("public_url")).as("creator"),
+        struct(
+          array(struct(lit("i.png").as("name"),
+            concat(lit("https://cdn.thingiverse.test/"), col("p_partkey"), lit(".png")).as("url"),
+            lit(null).cast("string").as("added"))).as("images"),
+          array(struct(lit("m.stl").as("name"),
+            concat(lit("https://cdn.thingiverse.test/"), col("p_partkey"), lit(".stl")).as("url"),
+            lit(null).cast("string").as("direct_url"))).as("files")).as("zip_data"))).as("json"))
+      val projects = graft.normalize.Normalizers.thingiverse(s, hits)
+      projects.flatMap { r =>
+        val p = graft.model.ProjectModel.fromRow(r)
+        val cm = graft.model.CrawlMeta.initial("thingiverse.com", "api")
+        graft.serialize.RdfSerializer.tripleRows(p, cm)
+      }.toDF()
     }),
     "q_multimodal_featurize" -> ((s, d) => {
       val n = s.read.parquet(s"$d/part.parquet").count()
@@ -465,6 +516,35 @@ object SparkEntry {
         |JOIN sizes sa ON i.doc_a = sa.doc_id
         |JOIN sizes sb ON i.doc_b = sb.doc_id
         |WHERE floor(i.inter * 1000.0 / (sa.n_shingles + sb.n_shingles - i.inter)) >= 100""".stripMargin,
+    "q_normalize_manifest" ->
+      """SELECT
+        |  'https://github.com/owner' || (p_partkey % 7) || '/repo' || p_partkey AS project_id,
+        |  'Thing ' || p_partkey AS name,
+        |  '1.' || (p_partkey % 10) || '.' || (p_partkey % 5) AS version,
+        |  CASE WHEN p_partkey % 3 = 0 THEN 'v1.' || (p_partkey % 10) END AS release,
+        |  CASE p_partkey % 4 WHEN 0 THEN 'MIT' WHEN 1 THEN 'MIT'
+        |       WHEN 2 THEN 'GPL-3.0-or-later' ELSE NULL END AS license_spdx,
+        |  'User ' || p_partkey AS licensor_name,
+        |  'u' || p_partkey || '@x.org' AS licensor_email,
+        |  CASE WHEN p_partkey % 2 = 0 THEN 'Org' || (p_partkey % 5) END AS org_name,
+        |  'OTRL-' || (p_partkey % 5 + 1) AS trl,
+        |  'ODRL-' || (p_partkey % 4 + 1) AS drl,
+        |  CASE WHEN p_partkey % 5 = 0 THEN 'B25J9/00' END AS cpc_patent_class,
+        |  CASE WHEN p_partkey % 3 = 1 THEN 'MEC' END AS tsdc,
+        |  CASE WHEN p_partkey % 2 = 0 THEN 'README.md' END AS readme_path,
+        |  CASE WHEN p_partkey % 2 <> 0
+        |       THEN 'https://ex.org/' || p_partkey || '/readme.md' END AS readme_url,
+        |  'bom.csv' AS bom_path,
+        |  CAST((p_partkey % 100) * 10 + 5 AS BIGINT) AS mass_dg,
+        |  CAST(CASE WHEN p_partkey % 2 = 0 THEN p_partkey % 50 + 1 ELSE -1 END AS BIGINT) AS width_mm,
+        |  CAST(p_partkey % 3 AS BIGINT) AS n_parts,
+        |  CAST(CASE WHEN p_partkey % 5 = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_software,
+        |  CASE WHEN p_partkey % 3 >= 1 THEN 'PLA' END AS part1_material,
+        |  CASE WHEN p_partkey % 3 = 2 THEN '3DP' END AS part2_tsdc,
+        |  CAST(CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_langs,
+        |  CAST(CASE WHEN p_partkey % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_attestations,
+        |  CASE WHEN p_partkey % 5 = 2 THEN 'MIT' END AS sw_license
+        |FROM part""".stripMargin,
     "q_slugify" ->
       """SELECT p_partkey AS k,
         |  regexp_replace(regexp_replace(regexp_replace(lower(p_name),

@@ -172,6 +172,15 @@ object ScalarFunctions {
   val urlEncodeUdf = udf(urlEncode _)
   val urlDecodeUdf = udf(urlDecode _)
 
+  // ---- C18: DOI / web-URL predicates (reference: serializer/util.py:15,
+  // 40-47) ----
+  private val DoiRe =
+    "^(doi: |DOI: |https://doi\\.org/)?10\\.\\d{4,9}/[-._;()/:a-zA-Z0-9]+$".r
+  def isDoi(s: String): Boolean = s != null && DoiRe.matches(s)
+  def isWebUrl(s: String): Boolean =
+    graft.model.UrlCanonicalizer.isValidUrl(s)
+  val isDoiUdf = udf(isDoi _)
+
   // ---- C19: validation regexes (reference: validator/__init__.py:16-26) ----
   val SemverPattern = "^(0|[1-9]\\d*)\\.(0|[1-9]\\d*)\\.(0|[1-9]\\d*)(?:-[0-9A-Za-z-.]+)?(?:\\+[0-9A-Za-z-.]+)?$"
   val Sha1Pattern = "^[A-Fa-f0-9]{40}$"

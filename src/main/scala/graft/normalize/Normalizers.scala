@@ -20,6 +20,64 @@ import graft.model.Predicates
   */
 object Normalizers {
 
+  // ---- shared wide-tail column types (reference: model/project.py:21-69;
+  // every platform emits the FULL Project schema — fields the platform
+  // cannot know are typed nulls/empties, exactly like the reference's
+  // dataclass defaults) ----
+
+  val fileType = "struct<name:string,path:string,url:string>"
+  val agentType = "struct<name:string,email:string,url:string>"
+  val dimsType = "struct<width:double,height:double,depth:double>"
+  val partType = s"struct<name:string,name_clean:string," +
+    s"image:array<$fileType>,source:array<$fileType>,export:array<$fileType>," +
+    s"auxiliary:array<$fileType>,material:string,mass:double," +
+    s"outer_dimensions:$dimsType,tsdc:string>"
+  val softwareType = s"struct<release:string,documentation_language:array<string>," +
+    s"license_spdx:string,licensor:array<$agentType>>"
+
+  private def emptyFiles = array().cast(s"array<$fileType>")
+  private def emptyAgents = array().cast(s"array<$agentType>")
+  private def emptyStrs = array().cast("array<string>")
+
+  /** A path-or-URL string → File struct (reference files_info.file:
+    * http(s) → url, anything else → repo-relative path).
+    */
+  private def fileFromString(c: Column): Column =
+    when(c.isNull, lit(null).cast(fileType)).otherwise(struct(
+      lit(null).cast("string").as("name"),
+      when(c.startsWith("http"), lit(null).cast("string")).otherwise(c).as("path"),
+      when(c.startsWith("http"), c).otherwise(lit(null).cast("string")).as("url")))
+
+  private def fileArrayFromString(c: Column): Column =
+    when(c.isNull, emptyFiles).otherwise(array(fileFromString(c)))
+
+  /** documentation-language from the description when the platform API has
+    * no explicit field (thingiverse.py:79, oshwa.py:88).
+    */
+  private def docLangFromDescription(c: Column): Column = {
+    val lang = graft.operators.TextOps.langIdCol(c)
+    when(c.isNull || lang === "und", emptyStrs).otherwise(array(lang))
+  }
+
+  /** The wide tail appended by platforms that only know the core fields. */
+  private def wideTail(descriptionCol: Column): Seq[Column] = Seq(
+    lit(null).cast("string").as("release"),
+    emptyAgents.as("organization"),
+    emptyFiles.as("readme"),
+    emptyFiles.as("bom"),
+    emptyFiles.as("user_manual"),
+    emptyFiles.as("manufacturing_instructions"),
+    emptyFiles.as("auxiliary"),
+    docLangFromDescription(descriptionCol).as("documentation_language"),
+    emptyStrs.as("attestation"),
+    emptyStrs.as("publication"),
+    emptyStrs.as("standard_compliance"),
+    lit(null).cast("string").as("tsdc"),
+    lit(null).cast("double").as("mass"),
+    lit(null).cast(dimsType).as("outer_dimensions"),
+    array().cast(s"array<$partType>").as("part"),
+    array().cast(s"array<$softwareType>").as("software"))
+
   // ---- Thingiverse (reference: normalizer/thingiverse.py:30-200) ----
 
   val thingiverseHitSchema: StructType = StructType(Seq(
@@ -106,7 +164,7 @@ object Normalizers {
       .join(broadcast(licenseDim(spark)), col("license") === col("tv_license"), "left_outer")
       .join(images, Seq("project_id"), "left_outer")
       .join(byCat, Seq("project_id"), "left_outer")
-      .select(
+      .select(Seq(
         col("project_id"),
         col("name"),
         col("public_url").as("repo"),
@@ -125,6 +183,7 @@ object Normalizers {
         coalesce(col("image"), array().cast("array<struct<name:string,url:string>>")).as("image"),
         coalesce(col("source"), array().cast("array<struct<name:string,url:string>>")).as("source"),
         coalesce(col("export"), array().cast("array<struct<name:string,url:string>>")).as("export"))
+        ++ wideTail(col("description")): _*)
   }
 
   // ---- OSHWA (reference: normalizer/oshwa.py:53-160) ----
@@ -193,7 +252,7 @@ object Normalizers {
         when(col("primaryType").isInCollection(cpcUnmappable), col("cpc_additional"))
           .otherwise(col("cpc")))
 
-    withCpc.select(
+    withCpc.select(Seq(
       concat(lit("oshwa.org/"), lower(col("oshwaUid"))).as("project_id"),
       col("projectName").as("name"),
       concat(lit("https://certification.oshwa.org/"), lower(col("oshwaUid")), lit(".html"))
@@ -211,6 +270,7 @@ object Normalizers {
       array().cast("array<struct<name:string,url:string>>").as("image"),
       array().cast("array<struct<name:string,url:string>>").as("source"),
       array().cast("array<struct<name:string,url:string>>").as("export"))
+      ++ wideTail(col("projectDescription")): _*)
   }
 
   private def cpcCase(v: String): String =
@@ -225,10 +285,24 @@ object Normalizers {
     StructField("name", StringType),
     StructField("repo", StringType),
     StructField("version", StringType),
+    StructField("release", StringType), // manifest.py:221
     StructField("license", StringType),
     StructField("licensor", StringType),
+    StructField("organization", StringType), // manifest.py:222,419-425 (str form)
     StructField("function", StringType),
     StructField("documentation-language", ArrayType(StringType)),
+    StructField("technology-readiness-level", StringType), // manifest.py:228
+    StructField("documentation-readiness-level", StringType), // manifest.py:229
+    StructField("attestation", ArrayType(StringType)), // manifest.py:230
+    StructField("publication", ArrayType(StringType)), // manifest.py:231
+    StructField("standard-compliance", ArrayType(StringType)), // manifest.py:232
+    StructField("cpc-patent-class", StringType), // manifest.py:233
+    StructField("tsdc", StringType), // manifest.py:234
+    StructField("readme", StringType), // manifest.py:223 (str form)
+    StructField("contribution-guide", StringType), // manifest.py:224
+    StructField("bom", StringType), // manifest.py:235
+    StructField("manufacturing-instructions", StringType), // manifest.py:236
+    StructField("user-manual", StringType), // manifest.py:237
     StructField("image", ArrayType(StringType)),
     StructField("mass", DoubleType),
     StructField("outer-dimensions", StructType(Seq(
@@ -237,10 +311,26 @@ object Normalizers {
       StructField("depth", DoubleType),
       StructField("openSCAD", StringType),
       StructField("unit", StringType)))),
+    // parts with the full per-part breadth (manifest.py:476-501, part.py:13-33)
     StructField("part", ArrayType(StructType(Seq(
       StructField("name", StringType),
       StructField("source", StringType),
-      StructField("export", ArrayType(StringType))))))))
+      StructField("export", ArrayType(StringType)),
+      StructField("image", ArrayType(StringType)),
+      StructField("auxiliary", ArrayType(StringType)),
+      StructField("material", StringType),
+      StructField("mass", DoubleType),
+      StructField("tsdc", StringType),
+      StructField("outer-dimensions", StructType(Seq(
+        StructField("width", DoubleType),
+        StructField("height", DoubleType),
+        StructField("depth", DoubleType)))))))),
+    // software entries (manifest.py:503-517, software.py:14-23)
+    StructField("software", ArrayType(StructType(Seq(
+      StructField("release", StringType),
+      StructField("documentation-language", ArrayType(StringType)),
+      StructField("license", StringType),
+      StructField("licensor", StringType)))))))
 
   private val tomlToJsonUdf = udf { s: String =>
     try graft.formats.Toml.toJsonString(s) catch { case _: Exception => null }
@@ -284,20 +374,33 @@ object Normalizers {
           person.getField("email").as("email"),
           lit(null).cast("string").as("url"))))
 
+    // a path-or-URL string inside a SQL lambda (fileFromString twin)
+    def fileStructSql(v: String): String =
+      s"struct(cast(null as string) as name, " +
+        s"case when $v like 'http%' then cast(null as string) else $v end as path, " +
+        s"case when $v like 'http%' then $v else cast(null as string) end as url)"
+
     m.select(
       col("m.repo").as("project_id"),
       col("m.name").as("name"),
       col("m.repo").as("repo"),
       col("m.version").as("version"),
+      col("m.release").as("release"), // manifest.py:221
       // first license of the SPDX expression (C12 + manifest.py:334-337
       // silently keeps the first); invalid expressions split to an empty
       // array → null license, not an ANSI index error (errors-as-data)
       get(ScalarFunctions.spdxSplitUdf(col("m.license")), lit(0)).as("license_spdx"),
       licensorCol.as("licensor"),
+      // string-form organization → one Organization agent (manifest.py:419-425)
+      when(col("m.organization").isNotNull, array(struct(
+        col("m.organization").as("name"),
+        lit(null).cast("string").as("email"),
+        lit(null).cast("string").as("url"))))
+        .otherwise(emptyAgents).as("organization"),
       functionCol(col("m.function")).as("function"),
-      lit(null).cast("string").as("trl"),
-      lit(null).cast("string").as("drl"),
-      lit(null).cast("string").as("cpc_patent_class"),
+      col("m.`technology-readiness-level`").as("trl"),
+      col("m.`documentation-readiness-level`").as("drl"),
+      col("m.`cpc-patent-class`").as("cpc_patent_class"),
       expr("transform(coalesce(m.image, array()), u -> struct(null as name, u as url))")
         .as("image"),
       expr("transform(coalesce(m.part, array()), p -> struct(p.name as name, p.source as url))")
@@ -316,7 +419,42 @@ object Normalizers {
         struct(dims.getField("width").as("width"),
           dims.getField("height").as("height"),
           dims.getField("depth").as("depth"))).as("outer_dimensions"),
-      col("m.`documentation-language`").as("documentation_language"))
+      col("m.`documentation-language`").as("documentation_language"),
+      // file singletons (manifest.py:223,235-237; str = path or URL)
+      fileArrayFromString(col("m.readme")).as("readme"),
+      fileArrayFromString(col("m.bom")).as("bom"),
+      fileArrayFromString(col("m.`user-manual`")).as("user_manual"),
+      fileArrayFromString(col("m.`manufacturing-instructions`"))
+        .as("manufacturing_instructions"),
+      emptyFiles.as("auxiliary"),
+      coalesce(col("m.attestation"), emptyStrs).as("attestation"),
+      coalesce(col("m.publication"), emptyStrs).as("publication"),
+      coalesce(col("m.`standard-compliance`"), emptyStrs).as("standard_compliance"),
+      col("m.tsdc").as("tsdc"),
+      // full per-part rows (manifest.py:476-501): name_clean strips special
+      // chars (project.py:18); file strings split into path-vs-url structs
+      expr(s"""transform(coalesce(m.part, array()), p -> struct(
+        |  p.name as name,
+        |  regexp_replace(p.name, '[^a-zA-Z0-9_-]+', '') as name_clean,
+        |  transform(coalesce(p.image, array()), i -> ${fileStructSql("i")}) as image,
+        |  case when p.source is not null then array(${fileStructSql("p.source")})
+        |       else array() end as source,
+        |  transform(coalesce(p.export, array()), e -> ${fileStructSql("e")}) as export,
+        |  transform(coalesce(p.auxiliary, array()), x -> ${fileStructSql("x")}) as auxiliary,
+        |  p.material as material,
+        |  p.mass as mass,
+        |  p.`outer-dimensions` as outer_dimensions,
+        |  p.tsdc as tsdc))""".stripMargin).as("part"),
+      // software entries (manifest.py:503-517): license string is already an
+      // SPDX id in OKH manifests; licensor string → one Person agent
+      expr("""transform(coalesce(m.software, array()), s -> struct(
+        |  s.release as release,
+        |  coalesce(s.`documentation-language`, array()) as documentation_language,
+        |  s.license as license_spdx,
+        |  case when s.licensor is not null
+        |       then array(struct(s.licensor as name, cast(null as string) as email,
+        |                         cast(null as string) as url))
+        |       else array() end as licensor))""".stripMargin).as("software"))
   }
 
   /** A6: unique part names within a project (dict_utils.py:136-145) —

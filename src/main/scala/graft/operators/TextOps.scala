@@ -79,6 +79,24 @@ object TextOps {
   private def occurrences(t: Column, marker: String): Column =
     (length(t) - length(expr(s"replace(lower(text), '$marker', '')"))) / marker.length
 
+  /** Language-id as a reusable column expression (the normalizers'
+    * `_language_from_description` analogue — thingiverse.py:79,
+    * oshwa.py:88): marker-occurrence scores, best wins, 'und' when no
+    * marker hits. Pure builtin arithmetic, fully codegen'd.
+    */
+  def langIdCol(c: Column): Column = {
+    val t = lower(c)
+    def occ(m: String): Column =
+      (length(t) - length(call_function("replace", t, lit(m), lit("")))) / m.length
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> markers.map(occ).reduce(_ + _).cast("long")
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val t = lower(col("text"))
     val scores = langMarkers.map { case (lang, markers) =>

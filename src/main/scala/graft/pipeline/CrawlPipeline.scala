@@ -39,6 +39,11 @@ object CrawlPipeline {
   def urlSeenStore(tableRoot: String) = new SnapshotStore(s"$tableRoot/url_seen")
   def resultsStore(tableRoot: String) = new SnapshotStore(s"$tableRoot/results")
   def fetchLogStore(tableRoot: String) = new SnapshotStore(s"$tableRoot/fetch_log")
+  /** S10 final sink: the three RDF graphs per project (reference
+    * store_final, fetch_result_repository_workdir.py:93-111). Flag-gated in
+    * `run` like the reference's raw sink (S9).
+    */
+  def projectsStore(tableRoot: String) = new SnapshotStore(s"$tableRoot/projects")
 
   /** Seed URL per store id: four platform families by id residue — the
     * multi-host seed list whose cross-host interleaving the golden crawl
@@ -195,6 +200,7 @@ object CrawlPipeline {
   def run(spark: SparkSession, storeDir: String, tableRoot: String,
       limit: Option[Long] = None,
       salts: Map[String, Int] = Map.empty,
+      rdfSink: Boolean = false, // S10: emit the 3-graph RDF projects table
       crashBeforeSeenCommit: Boolean = false // test hook: injected crash
       ): RunSummary = {
     import spark.implicits._
@@ -279,8 +285,35 @@ object CrawlPipeline {
     val fetchLogF = Future(alreadyCommitted(lStore).getOrElse(
       timed("fetch_log append")(lStore.append(spark, log.toDF(), "hosting_id",
         statusCounts.updated("slice_id", sliceId), clusterBeforeWrite = true))))
+    // S10: 3-graph RDF sink (normalized.okh_toml / meta / data.okh turtle
+    // per project — fetch_result_repository_workdir.py:105-110), built with
+    // a typed map over the result rows (pure per-row serialization, no
+    // shuffle) and committed with the same slice_id idempotency.
+    val projectsF = if (!rdfSink) None else Some {
+      val pStore = projectsStore(tableRoot)
+      Future(alreadyCommitted(pStore).getOrElse(timed("projects append") {
+        val docs = results
+          .select(col("image_id"), col("unit_path"), col("caption"), col("id_group"))
+          .withColumn("id",
+            regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long"))
+          .as[(String, String, String, Long, Long)]
+          .map { case (imageId, unitPath, caption, idGroup, id) =>
+            val hosting = unitPath.takeWhile(_ != '/')
+            val p = graft.model.ProjectModel.minimal(unitPath, caption, seedUrl(id))
+              .copy(image = Seq(graft.model.ImageRef(Some(imageId), None,
+                Some(s"img://$imageId"), None, None, Seq.empty, Seq.empty, Seq.empty)))
+            val cm = graft.model.CrawlMeta.initial(hosting, "api")
+            val d = graft.serialize.RdfSerializer.serialize(p, cm)
+            (d.project_id, d.normalized_okh_toml_ttl, d.meta_ttl, d.data_okh_ttl, idGroup)
+          }
+          .toDF("project_id", "normalized_okh_toml_ttl", "meta_ttl",
+            "data_okh_ttl", "id_group")
+        pStore.append(spark, docs, "id_group", Map("slice_id" -> sliceId))
+      }))
+    }
     val resultsSnap = Await.result(resultsF, Duration.Inf)
     Await.result(fetchLogF, Duration.Inf)
+    projectsF.foreach(Await.result(_, Duration.Inf))
     val resultRows = resultsSnap.metrics("commit_rows")
 
     if (crashBeforeSeenCommit)

@@ -167,6 +167,62 @@ class NormalizersSpec extends SparkTestBase {
       "https://www.appropedia.org/User:Alice", "https://www.appropedia.org/User:Bob"))
   }
 
+  test("manifest: full Project breadth — parts/software/files/orgs (ref manifest.py:214-545)") {
+    // k=14: even (org, dims, README.md path, 1 lang), 14%3=2 → 2 parts,
+    // 14%7=0 → attestation, 14%5=4 → no software
+    val toml14 = graft.fixtures.SyntheticManifests.toml(14L)
+    val m = Normalizers.manifest(spark, Seq(("toml", toml14)).toDF("fmt", "content"))
+    val r = m.collect()(0)
+    assert(r.getAs[String]("trl") == "OTRL-5" && r.getAs[String]("drl") == "ODRL-3")
+    val orgs = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("organization")
+    assert(orgs.map(_.getAs[String]("name")) == Seq("Org4"))
+    val readme = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("readme")
+    assert(readme.head.getAs[String]("path") == "README.md")
+    assert(readme.head.getAs[String]("url") == null) // relative path, not URL
+    val parts = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("part")
+    assert(parts.size == 2)
+    val p0 = parts.head
+    assert(p0.getAs[String]("name") == "part 0")
+    assert(p0.getAs[String]("name_clean") == "part0") // special chars stripped
+    assert(p0.getAs[String]("material") == "PLA")
+    assert(p0.getAs[org.apache.spark.sql.Row]("outer_dimensions")
+      .getAs[Double]("width") == 2.0)
+    val p0exp = p0.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("export")
+    assert(p0exp.map(_.getAs[String]("path")) == Seq("p0.stl", null))
+    assert(p0exp.map(_.getAs[String]("url")) == Seq(null, "https://ex.org/14/p0.step"))
+    assert(parts(1).getAs[String]("tsdc") == "3DP")
+    assert(r.getAs[scala.collection.Seq[String]]("attestation")
+      == Seq("https://cert.example.org/14"))
+
+    // k=7: software entry (7%5=2), odd → readme URL, 2 langs
+    val m7 = Normalizers.manifest(spark,
+      Seq(("toml", graft.fixtures.SyntheticManifests.toml(7L))).toDF("fmt", "content"))
+    val r7 = m7.collect()(0)
+    val sw = r7.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("software")
+    assert(sw.size == 1)
+    assert(sw.head.getAs[String]("release") == "sw-7")
+    assert(sw.head.getAs[String]("license_spdx") == "MIT")
+    assert(r7.getAs[scala.collection.Seq[String]]("documentation_language")
+      == Seq("en", "de"))
+    assert(r7.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("readme")
+      .head.getAs[String]("url") == "https://ex.org/7/readme.md")
+  }
+
+  test("manifest breadth feeds the 3-graph RDF serializer end-to-end") {
+    val m = Normalizers.manifest(spark,
+      Seq(("toml", graft.fixtures.SyntheticManifests.toml(14L))).toDF("fmt", "content"))
+    val p = graft.model.ProjectModel.fromRow(m.collect()(0))
+    assert(p.part.size == 2 && p.organization.size == 1 && p.mass.contains(14.5))
+    val docs = graft.serialize.RdfSerializer.serialize(p,
+      graft.model.CrawlMeta.initial("github.com", "manifest",
+        manifest = Some("https://github.com/owner0/repo14/raw/HEAD/okh.toml")))
+    assert(docs.data_okh_ttl.contains(":part0\n  a okh:Part ;"))
+    assert(docs.data_okh_ttl.contains("okh:material \"PLA\""))
+    assert(docs.data_okh_ttl.contains("okh:hasComponent :part0"))
+    assert(docs.data_okh_ttl.contains("okh:organization :organization0"))
+    assert(docs.meta_ttl.contains("okhkrawl:dataSourcingProcedureManifest"))
+  }
+
   test("manifest: YAML form parses too (C15)") {
     val yaml =
       """name: Yaml Thing

@@ -168,6 +168,29 @@ class CrawlPipelineSpec extends SparkTestBase {
     results.unpersist()
   }
 
+  test("S10 rdf sink: one 3-graph turtle row per ok unit, committed with the slice") {
+    val root = freshRoot()
+    val s = CrawlPipeline.run(spark, storeDir, root, rdfSink = true)
+    val projects = CrawlPipeline.projectsStore(root).read(spark).get.cache()
+    assert(projects.count() == s.ok, "one projects row per ok unit")
+    assert(projects.columns.toSet == Set("project_id",
+      "normalized_okh_toml_ttl", "meta_ttl", "data_okh_ttl", "id_group"))
+    val row = projects.filter(col("project_id").startsWith("thingiverse.com/")).head()
+    val dataTtl = row.getAs[String]("data_okh_ttl")
+    assert(dataTtl.startsWith("@prefix"))
+    assert(dataTtl.contains("a okh:Module ;"))
+    assert(dataTtl.contains("okh:hasImage :projectImage1"))
+    val metaTtl = row.getAs[String]("meta_ttl")
+    assert(metaTtl.contains("ods:primaryHost okhkrawl:dataProviderThingiverse"))
+    assert(metaTtl.contains("void:rootResource :project"))
+    // resume does not duplicate the projects table
+    CrawlPipeline.run(spark, storeDir, root, rdfSink = true)
+    val ids = CrawlPipeline.projectsStore(root).read(spark).get
+      .select("project_id").as[String].collect()
+    assert(ids.length == ids.distinct.length)
+    projects.unpersist()
+  }
+
   test("golden crawl order: ascending id within each host (F1/F3/F4), interleave = (priority, seq) data") {
     val root = freshRoot()
     CrawlPipeline.run(spark, storeDir, root)

@@ -76,4 +76,182 @@ class SerializersSpec extends SparkTestBase {
     val packed = graft.functions.ScalarFunctions.deflateB64(toml)
     assert(graft.functions.ScalarFunctions.inflateB64(packed) == toml)
   }
+
+  // ---- C24 full parity: the three-graph serializer ----
+
+  import graft.model._
+
+  /** Rich fixture exercising every branch of rdf_serializer.py:75-869. */
+  private def fixtureProject: ProjectModel = ProjectModel.minimal(
+    "github.com/o/widget", "Widget One", "https://github.com/o/widget").copy(
+    version = Some("1.2.0"),
+    release = Some("https://github.com/o/widget/releases/tag/v1.2.0"),
+    license_spdx = Some("GPL-3.0-or-later"),
+    licensor = Seq(AgentRow(Some("Ada L"), Some("ada@x.org"), None, None, false)),
+    organization = Seq(AgentRow(Some("Widget Org"), None,
+      Some("https://widgets.example.org"), None, true)),
+    readme = Seq(FileRef.url("https://github.com/o/widget/raw/HEAD/README.md")),
+    image = Seq(ImageRef(Some("front"), None, Some("https://x/front.png"), None,
+      None, slots = Seq("icon-main"), tags = Seq("photo", "color"),
+      depicts = Seq("the widget from the front"))),
+    documentation_language = Seq("en", "de"),
+    trl = Some("OTRL-4"), drl = Some("ODRL-3*"),
+    attestation = Seq("https://certifier.example.org/widget"),
+    publication = Seq("10.1000/xyz123", "https://journal.example.org/widget"),
+    function = Some("Widgets things."),
+    standard_compliance = Seq("DIN EN 1335"),
+    cpc_patent_class = Some("B25J9/00"),
+    tsdc = Some("MEC"),
+    bom = Seq(FileRef.url("https://github.com/o/widget/raw/HEAD/bom.csv")),
+    manufacturing_instructions = Seq(FileRef.url("https://x/build.md")),
+    user_manual = Seq(FileRef.url("https://x/manual.pdf")),
+    mass = Some(1.2),
+    outer_dimensions = Some(OuterDims(Some(40.0), Some(20.0), Some(10.0))),
+    part = Seq(PartRow("frame", Some("frame"),
+      image = Seq(ImageRef(None, None, Some("https://x/frame.jpg"), None, None,
+        Seq.empty, Seq("photo"), Seq.empty)),
+      source = Seq(FileRef.url("https://x/frame.scad")),
+      export = Seq(FileRef.url("https://x/frame.stl")),
+      auxiliary = Seq.empty, material = Some("PLA"),
+      manufacturing_instructions = Seq.empty, mass = Some(0.3),
+      outer_dimensions = Some(OuterDims(Some(10.0), Some(10.0), Some(2.0))),
+      tsdc = Some("3DP"))),
+    software = Seq(SoftwareRow("v2.1", None, Seq("en"), Some("MIT"),
+      Seq(AgentRow(Some("Ada L"), None, None, None, false)), Seq.empty)),
+    source = Seq(FileRef.url("https://x/main.scad")),
+    export = Seq(FileRef.url("https://x/main.stl")),
+    normalized_toml = Some("name = \"Widget One\"\n"))
+
+  private def fixtureMeta: CrawlMeta = CrawlMeta(
+    hosting_id = "github.com", sourcing_procedure = "manifest",
+    manifest_url = Some("https://github.com/o/widget/raw/HEAD/okh.toml"),
+    okhv_fetched = Some("OKH-LOSHv1.0"),
+    created_at = Some("2020-01-01T00:00:00"),
+    first_visited = Some("2021-01-01T00:00:00"),
+    last_visited = Some("2021-03-01T00:00:00"),
+    last_successfully_visited = Some("2021-03-01T00:00:00"),
+    last_detected_change = Some("2021-02-01T00:00:00"),
+    visits = 3L, changes = 1L)
+
+  test("C24 three graphs: per-graph content parity with rdf_serializer.py:806-869") {
+    val g = RdfSerializer.makeGraphs(fixtureProject, fixtureMeta)
+    // project namespace: version + path__ (rdf_serializer.py:207-235)
+    assert(g.data.base == "https://github.com/1.2.0/o__widget/")
+
+    // toml graph: exactly the deflate+base64 normalized manifest
+    assert(g.toml.triples.size == 1)
+    val packed = g.toml.triples.head.o.stripPrefix("\"").stripSuffix("\"")
+    assert(graft.functions.ScalarFunctions.inflateB64(packed) == "name = \"Widget One\"\n")
+    assert(g.toml.triples.head.p == "okh:normalizedManifestContent")
+
+    val meta = g.meta.triples
+    def mHas(s: String, p: String, o: String) = meta.contains(RdfSerializer.Triple(s, p, o))
+    // data-set + source (rdf_serializer.py:117-203)
+    assert(mHas(":projectDataSet", "a", "ods:Dataset"))
+    assert(mHas(":projectDataSetSource", "ods:primaryHost", "okhkrawl:dataProviderGithub"))
+    assert(mHas(":projectDataSetSource", "ods:dataSourcingProcedure",
+      "okhkrawl:dataSourcingProcedureManifest"))
+    assert(mHas(":projectDataSetSource", "ods:lastVisited",
+      "\"2021-03-01T00:00:00\"^^xsd:dateTime"))
+    assert(mHas(":projectDataSetSource", "ods:visits", "3"))
+    assert(mHas(":projectDataSet", "ods:changes", "1"))
+    assert(mHas(":projectDataSet", "ods:lastChanged",
+      "\"2021-02-01T00:00:00\"^^xsd:dateTime"))
+    assert(mHas(":projectDataSetSource", "okh:okhv", "\"OKH-LOSHv1.0\""))
+    assert(mHas(":projectDataSetSource", "ods:schemaVersion", "\"OKH-LOSHv1.0\""))
+    assert(mHas(":manifestFile", "a", "okh:ManifestFile"))
+    assert(mHas(":manifestFile", "ods:fileFormat", "mime:application/toml"))
+    assert(mHas(":projectDataSetSource", "okh:hasManifestFile", ":manifestFile"))
+    assert(mHas(":projectDataSet", "ods:license", "spdxl:GPL-3.0-or-later"))
+    assert(mHas(":projectDataSet", "void:rootResource", ":project"))
+    assert(mHas(":projectDataSet", "ods:hasSource", ":projectDataSetSource"))
+
+    val data = g.data.triples
+    def dHas(s: String, p: String, o: String) = data.contains(RdfSerializer.Triple(s, p, o))
+    // module core (rdf_serializer.py:620-686)
+    assert(dHas(":project", "a", "okh:Module"))
+    assert(dHas(":project", "okh:name", "\"Widget One\""))
+    assert(dHas(":project", "ods:source", "<https://github.com/o/widget>"))
+    assert(dHas(":project", "okh:version", "\"1.2.0\""))
+    assert(dHas(":project", "ods:license", "spdxl:GPL-3.0-or-later"))
+    assert(dHas(":project", "ods:licensor", ":licensor0"))
+    assert(dHas(":licensor0", "a", "schema:Person"))
+    assert(dHas(":licensor0", "foaf:mbox", "\"ada@x.org\""))
+    assert(dHas(":organization0", "a", "schema:Organization"))
+    assert(dHas(":project", "okh:organization", ":organization0"))
+    // OTRL/ODRL transforms (rdf_serializer.py:237-250)
+    assert(dHas(":project", "okh:technologyReadinessLevel", "otrl:OTRL4"))
+    assert(dHas(":project", "okh:documentationReadinessLevel", "otrl:ODRL3Star"))
+    assert(dHas(":project", "okh:attestation",
+      "\"https://certifier.example.org/widget\"^^xsd:anyURI"))
+    assert(dHas(":project", "okh:tsdc", "tsdc:MEC"))
+    // publications: DOI vs URL branch (rdf_serializer.py:438-455)
+    assert(dHas(":publication0", "okh:doi", "\"10.1000/xyz123\""))
+    assert(dHas(":publication1", "ods:url", "<https://journal.example.org/widget>"))
+    assert(dHas(":project", "okh:hasPublication", ":publication0"))
+    assert(dHas(":standard0", "okh:standardID", "\"DIN EN 1335\""))
+    assert(dHas(":software0", "a", "okh:Software"))
+    assert(dHas(":software0", "okh:release", "\"v2.1\""))
+    assert(dHas(":software0", "ods:license", "spdxl:MIT"))
+    // module-level mass/dims (shared _fill_part, rdf_serializer.py:335-417)
+    assert(dHas(":project", "okh:hasMass", "\"1.2\"^^xsd:float"))
+    assert(dHas(":project", "okh:hasOuterDimensions", ":projectOuterDimensions"))
+    assert(dHas(":projectOuterDimensions", "okh:width", "\"40.0\"^^xsd:float"))
+    // files with naming convention parent+Entity+index (rdf_serializer.py:736-759)
+    assert(dHas(":project", "okh:hasSource", ":projectSourceFile1"))
+    assert(dHas(":projectSourceFile1", "ods:url", "<https://x/main.scad>"))
+    assert(dHas(":projectExportFile1", "ods:fileFormat", "mime:model/stl"))
+    assert(dHas(":project", "okh:hasManufacturingInstructions",
+      ":projectManufacturingInstructions1"))
+    // readme/bom/userManual keyed by project NAME (rdf_serializer.py:836-861)
+    assert(dHas(":project", "okh:hasReadme", ":widgetOneReadme1"))
+    assert(dHas(":project", "okh:hasBoM", ":widgetOneBillOfMaterials1"))
+    assert(dHas(":project", "okh:hasUserManual", ":widgetOneUserManual1"))
+    // image slots/tags/depicts (rdf_serializer.py:761-779)
+    assert(dHas(":projectImage1", "a", "okh:Image"))
+    assert(dHas(":projectImage1", "okh:fillsSlot", "okhimg:slotIconMain"))
+    assert(dHas(":projectImage1", "okh:hasTag", "okhimg:tagPhoto"))
+    assert(dHas(":projectImage1", "okh:depicts", "\"the widget from the front\""))
+    // part triples (rdf_serializer.py:418-433)
+    assert(dHas(":frame", "a", "okh:Part"))
+    assert(dHas(":project", "okh:hasComponent", ":frame"))
+    assert(dHas(":frame", "okh:material", "\"PLA\""))
+    assert(dHas(":frame", "okh:hasMass", "\"0.3\"^^xsd:float"))
+    assert(dHas(":frame", "okh:tsdc", "tsdc:3DP"))
+    assert(dHas(":frame", "okh:hasOuterDimensions", ":frameOuterDimensions"))
+    assert(dHas(":frame", "okh:hasSource", ":frameSourceFile1"))
+    assert(dHas(":frameImage1", "okh:hasTag", "okhimg:tagPhoto"))
+    // part doc language falls back to the module's (rdf_serializer.py:349-358)
+    assert(dHas(":frame", "okh:documentationLanguage", "\"en\""))
+    assert(dHas(":project", "ods:hasSource", ":projectDataSetSource"))
+  }
+
+  test("C24 three-graph turtle: deterministic, prefix-correct, golden-pinned") {
+    val minimal = ProjectModel.minimal(
+      "thingiverse.com/0/77", "Tri Thing", "https://www.thingiverse.com/thing:77")
+      .copy(license_spdx = Some("CC-BY-4.0"), function = Some("does things"))
+    val cm = CrawlMeta.initial("thingiverse.com", "api",
+      visitedAt = Some("2021-01-01T00:00:00"))
+    val docs = RdfSerializer.serialize(minimal, cm)
+    // identical input → identical bytes
+    assert(docs == RdfSerializer.serialize(minimal, cm))
+    assert(docs.data_okh_ttl.contains("@prefix okh: <http://w3id.org/oseg/ont/okh#> ."))
+    val expectedDataBody =
+      """:project
+        |  a okh:Module ;
+        |  okh:name "Tri Thing" ;
+        |  ods:source <https://www.thingiverse.com/thing:77> ;
+        |  ods:license spdxl:CC-BY-4.0 ;
+        |  okh:function "does things" ;
+        |  ods:hasSource :projectDataSetSource ;
+        |  .""".stripMargin
+    assert(docs.data_okh_ttl.contains(expectedDataBody),
+      s"golden mismatch:\n${docs.data_okh_ttl}")
+    assert(docs.meta_ttl.contains(":projectDataSet\n  a ods:Dataset ;"))
+    // no normalized toml → empty toml graph (prefixes only)
+    assert(!docs.normalized_okh_toml_ttl.contains("okh:normalizedManifestContent"))
+    // three-file shape of store_final (workdir repository:105-110)
+    assert(Seq(docs.normalized_okh_toml_ttl, docs.meta_ttl, docs.data_okh_ttl)
+      .forall(_.startsWith("@prefix")))
+  }
 }
