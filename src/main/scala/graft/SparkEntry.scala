@@ -40,6 +40,26 @@ object SparkEntry {
     "q_validate" -> ((s, d) => CrawlOps.validate(s, d)),
     "q_license_merge" -> ((s, d) => CrawlOps.licenseMerge(s, d)),
     "q_newest_per_group" -> ((s, d) => CrawlOps.newestPerGroup(s, d)),
+    // CrawlingMeta re-visit bookkeeping (data_set.py:17-39) over a
+    // deterministic synthetic event log — the same operator the pipeline
+    // applies to its url_seen events (pipeline integration in
+    // CrawlPipelineSpec's store-mutation test)
+    "q_crawl_meta" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val events = s.read.parquet(s"$d/lineitem.parquet").select(
+        concat(lit("u"), col("l_orderkey")).as("unit_path"),
+        // synthetic lineitem can repeat l_linenumber within an order — the
+        // composite makes run_seq unique per unit so the lag window order
+        // is engine-independent
+        (col("l_linenumber").cast("long") * 1000000L
+          + col("l_partkey").cast("long") * 1000L
+          + col("l_suppkey").cast("long")).as("run_seq"),
+        when(pmod(col("l_partkey"), lit(11)) === 0, "error")
+          .when(pmod(col("l_partkey"), lit(13)) === 0, "not_found")
+          .otherwise("ok").as("status"),
+        pmod(col("l_suppkey"), lit(7)).cast("long").as("content_hash"))
+      CrawlOps.crawlingMeta(events)
+    }),
     "q_host_counts" -> ((s, d) => CrawlOps.hostCounts(s, d)),
     // ---- relational anchors ----
     "q1_pricing" -> ((s, d) => RelOps.q1PricingSummary(s, d)),
@@ -347,6 +367,37 @@ object SparkEntry {
         |  FROM orders)
         |SELECT o_custkey, o_orderkey AS newest_orderkey, o_orderdate AS newest_date
         |FROM rn WHERE r = 1""".stripMargin,
+    "q_crawl_meta" ->
+      """WITH ev AS (
+        |  SELECT 'u' || l_orderkey AS unit_path,
+        |         CAST(l_linenumber AS BIGINT) * 1000000
+        |           + CAST(l_partkey AS BIGINT) * 1000
+        |           + CAST(l_suppkey AS BIGINT) AS run_seq,
+        |         CASE WHEN l_partkey % 11 = 0 THEN 'error'
+        |              WHEN l_partkey % 13 = 0 THEN 'not_found'
+        |              ELSE 'ok' END AS status,
+        |         CAST(l_suppkey % 7 AS BIGINT) AS content_hash
+        |  FROM lineitem),
+        |ok AS (
+        |  SELECT unit_path, run_seq, content_hash,
+        |         lag(content_hash) OVER (PARTITION BY unit_path ORDER BY run_seq) AS prev_hash
+        |  FROM ev WHERE status = 'ok'),
+        |okagg AS (
+        |  SELECT unit_path,
+        |         max(run_seq) AS last_successfully_visited,
+        |         CAST(sum(CASE WHEN prev_hash IS NOT NULL AND prev_hash <> content_hash
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS changes,
+        |         max(CASE WHEN prev_hash IS NOT NULL AND prev_hash <> content_hash
+        |                  THEN run_seq END) AS last_detected_change
+        |  FROM ok GROUP BY 1),
+        |base AS (
+        |  SELECT unit_path, count(*) AS visits, min(run_seq) AS first_visited,
+        |         max(run_seq) AS last_visited
+        |  FROM ev GROUP BY 1)
+        |SELECT b.unit_path, b.visits, b.first_visited, b.last_visited,
+        |       o.last_successfully_visited, coalesce(o.changes, 0) AS changes,
+        |       o.last_detected_change
+        |FROM base b LEFT JOIN okagg o USING (unit_path)""".stripMargin,
     "q_host_counts" ->
       s"""WITH $C
          |SELECT hosting_id, count(*) AS n_units, CAST(sum(cnt) AS BIGINT) AS n_seed_urls

@@ -16,6 +16,7 @@ final case class FetchTask(
     seq: Long,
     url_hash: Long,
     bucket: Long,
+    content_hash: Long, // payload fingerprint delivered by the transport
     robots_denied: Boolean)
 
 /** Fetch outcome row — the engine's FetchResult/FailedFetch analogue
@@ -31,11 +32,12 @@ final case class FetchLogRow(
     seq: Long,
     url_hash: Long,
     bucket: Long,
+    content_hash: Long, // fingerprint of the delivered payload (0 unless ok)
     pos: Long, // per-host fetch position (politeness queue order, W4)
     scheduled_ms: Long, // earliest start under the politeness budget
     completed_ms: Long, // virtual-clock completion incl. retries
     retries: Int,
-    status: String) // ok | not_found | error
+    status: String) // ok | not_found | error | robots_denied
 
 /** The politeness-gated ordered fetch stage (SURVEY §2.9 R1-R4) — the one
   * deliberately non-Catalyst operator: an ordered `mapPartitions` over
@@ -122,7 +124,7 @@ object FetchStage {
     scheduled
       .repartition(col("hosting_id"), col("salt"))
       .sortWithinPartitions(col("hosting_id"), col("salt"), col("priority"), col("seq"))
-      .as[(String, String, Long, Int, Long, Long, Long, Boolean, Int, Long)]
+      .as[(String, String, Long, Int, Long, Long, Long, Long, Boolean, Int, Long)]
       .mapPartitions { it =>
         val pol = politenessBc.value
         val saltN = saltsBc.value
@@ -130,12 +132,12 @@ object FetchStage {
         val clock = mutable.Map.empty[(String, Int), Long]
         val windowUsed = mutable.Map.empty[(String, Int), (Long, Int)] // (windowStart, used)
         it.map { case (unitPath, host, id, priority, seq, urlHash, bucket,
-            robotsDenied, salt, pos) =>
+            contentHash, robotsDenied, salt, pos) =>
           val key = (host, salt)
           val start0 = clock.getOrElse(key, 0L)
           if (robotsDenied) {
             // robots gate (R5): no request issued, no politeness slot spent
-            FetchLogRow(unitPath, host, id, priority, seq, urlHash, bucket, pos,
+            FetchLogRow(unitPath, host, id, priority, seq, urlHash, bucket, 0L, pos,
               start0, start0, 0, "robots_denied")
           } else {
             val p = pol.getOrElse(host, Politeness(1000L, 3))
@@ -169,7 +171,9 @@ object FetchStage {
             // each attempt consumes one politeness slot
             val completed = start + effInterval * (attempts + 1)
             clock(key) = completed
-            FetchLogRow(unitPath, host, id, priority, seq, urlHash, bucket, pos,
+            // the payload fingerprint is only meaningful for delivered content
+            FetchLogRow(unitPath, host, id, priority, seq, urlHash, bucket,
+              if (status == "ok") contentHash else 0L, pos,
               start, completed, attempts, status)
           }
         }
@@ -179,8 +183,12 @@ object FetchStage {
   /** Typed view of a frontier DataFrame with the FetchTask columns. */
   def toTasks(spark: SparkSession, df: DataFrame): Dataset[FetchTask] = {
     import spark.implicits._
-    df.select(col("unit_path"), col("hosting_id"), col("id"),
+    val withHash =
+      if (df.columns.contains("content_hash")) df
+      else df.withColumn("content_hash", lit(0L))
+    withHash.select(col("unit_path"), col("hosting_id"), col("id"),
       col("priority").cast("int").as("priority"), col("seq"),
-      col("url_hash"), col("bucket"), col("robots_denied")).as[FetchTask]
+      col("url_hash"), col("bucket"), col("content_hash"),
+      col("robots_denied")).as[FetchTask]
   }
 }

@@ -282,4 +282,36 @@ object CrawlOps {
       .withColumn("ok", col("reasons") === "")
       .select(col("doc_id"), col("reasons"), col("ok"))
   }
+
+  /** CrawlingMeta re-visit bookkeeping (reference model/data_set.py:17-39,
+    * maintained per unit across crawls — e.g. shared/thingiverse.py:198-214):
+    * the url_seen EVENT LOG (one row per attempt: unit_path, status,
+    * run_seq, content_hash) aggregates to visits / first / last /
+    * last_successful visit plus change detection — `changes` counts
+    * content-hash transitions between consecutive successful visits and
+    * `last_detected_change` is the run that last observed one.
+    *
+    * Scale: one shuffle on unit_path shared by the window and both
+    * aggregations; no global sort, no driver state.
+    */
+  def crawlingMeta(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("unit_path").orderBy("run_seq")
+    val ok = events.filter(col("status") === "ok")
+      .withColumn("prev_hash", lag(col("content_hash"), 1).over(w))
+      .withColumn("changed",
+        col("prev_hash").isNotNull && col("prev_hash") =!= col("content_hash"))
+    val okAgg = ok.groupBy("unit_path").agg(
+      max(col("run_seq")).as("last_successfully_visited"),
+      sum(when(col("changed"), 1L).otherwise(0L)).as("ok_changes"),
+      max(when(col("changed"), col("run_seq"))).as("last_detected_change"))
+    events.groupBy("unit_path").agg(
+      count(lit(1)).as("visits"),
+      min(col("run_seq")).as("first_visited"),
+      max(col("run_seq")).as("last_visited"))
+      .join(okAgg, Seq("unit_path"), "left_outer")
+      .select(col("unit_path"), col("visits"), col("first_visited"),
+        col("last_visited"), col("last_successfully_visited"),
+        coalesce(col("ok_changes"), lit(0L)).as("changes"),
+        col("last_detected_change"))
+  }
 }

@@ -85,7 +85,10 @@ object CrawlPipeline {
     */
   def frontier(spark: SparkSession, storeDir: String): DataFrame = {
     val ids = spark.read.parquet(storeDir)
-      .select(regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long").as("id"))
+      .select(regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long").as("id"),
+        // payload fingerprint delivered with the fetch — drives the
+        // CrawlingMeta change detection on re-visits (data_set.py:17-39)
+        col("phash").as("content_hash"))
     ids
       .withColumn("url", seedUrlCol(col("id")))
       .withColumn("seq", col("id"))
@@ -197,10 +200,18 @@ object CrawlPipeline {
     }
   }
 
+  /** Retryable errors are excluded from slice selection after this many
+    * recorded attempts (CrawlingMeta-style re-visit bookkeeping replacing
+    * the retry-forever behavior — reference tracks visits in
+    * data_set.py:17-39).
+    */
+  val MaxErrorRetries = 3
+
   def run(spark: SparkSession, storeDir: String, tableRoot: String,
       limit: Option[Long] = None,
       salts: Map[String, Int] = Map.empty,
       rdfSink: Boolean = false, // S10: emit the 3-graph RDF projects table
+      revisit: Boolean = false, // re-crawl resolved units (change detection)
       crashBeforeSeenCommit: Boolean = false // test hook: injected crash
       ): RunSummary = {
     import spark.implicits._
@@ -214,7 +225,12 @@ object CrawlPipeline {
     // Bloom positives). Scale layout (VERDICT r1 #2): one Bloom FILE per
     // bucket, frontier ROUTED by bucket, so each task loads only its own
     // buckets' filters — no driver collect, no whole-map broadcast.
+    // url_seen is an append-only EVENT LOG (one row per attempt); a unit is
+    // excluded from future slices once it has a permanent outcome or
+    // MaxErrorRetries failed attempts. `revisit` ignores the exclusion and
+    // re-crawls the whole frontier (visit counters + change detection).
     val candidates = seen.read(spark) match {
+      case _ if revisit => fullFrontier
       case None => fullFrontier
       case Some(seenDf) =>
         val curV = seen.currentVersion.get
@@ -225,10 +241,16 @@ object CrawlPipeline {
             seenDf.select(col("bucket"), col("url_hash")),
             "bucket", "url_hash", bloomDir, curV)
         }
+        val resolved = seenDf.groupBy("unit_path").agg(
+          max(when(col("status").isin("ok", "not_found", "robots_denied"), 1)
+            .otherwise(0)).as("perm"),
+          sum(when(col("status") === "error", 1L).otherwise(0L)).as("n_err"))
+          .filter(col("perm") === 1 || col("n_err") >= MaxErrorRetries)
+          .select("unit_path")
         val routed = fullFrontier.repartition(NBuckets, col("bucket"))
         val might = BloomSeen.fileBucketPredicate(bloomDir)
         val maybeSeen = routed.filter(might)
-          .join(seenDf.select("unit_path"), Seq("unit_path"), "left_anti")
+          .join(resolved, Seq("unit_path"), "left_anti")
         val definitelyNew = routed.filter(!might)
         definitelyNew.unionByName(maybeSeen)
     }
@@ -319,12 +341,14 @@ object CrawlPipeline {
     if (crashBeforeSeenCommit)
       throw new RuntimeException("injected crash between payload and url_seen commits")
 
-    // url_hash/bucket rode through the fetch stage — no re-join needed;
-    // permanent outcomes only (transient errors stay fetchable next run)
+    // url_hash/bucket/content_hash rode through the fetch stage — no
+    // re-join needed. EVERY attempt is recorded (CrawlingMeta event log):
+    // errors accumulate a retry count and stop being selected after
+    // MaxErrorRetries; re-visits accumulate visit/change counters.
     val seenRows = log
-      .filter(col("status").isin("ok", "not_found", "robots_denied"))
       .select(col("unit_path"), col("hosting_id"), col("id"), col("status"),
-        col("url_hash"), col("bucket"))
+        col("url_hash"), col("bucket"), col("content_hash"))
+      .withColumn("run_seq", lit(sliceId + 1))
     val snap = timed("url_seen append")(seen.append(spark, seenRows,
       "bucket", statusCounts, clusterBeforeWrite = true))
     // merge this run's keys into the per-bucket Bloom files and stamp the
@@ -347,6 +371,11 @@ object CrawlPipeline {
   /** Run to exhaustion (all frontier units either seen or error),
     * `limit`-sized slices per run. Returns the per-run summaries.
     */
+  /** The CrawlingMeta view over this table root's url_seen event log. */
+  def crawlingMeta(spark: SparkSession, tableRoot: String): Option[DataFrame] =
+    urlSeenStore(tableRoot).read(spark)
+      .map(graft.operators.CrawlOps.crawlingMeta)
+
   def runUntilDone(spark: SparkSession, storeDir: String, tableRoot: String,
       limit: Long): Seq[RunSummary] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[RunSummary]
@@ -354,8 +383,11 @@ object CrawlPipeline {
     while (keepGoing) {
       val s = run(spark, storeDir, tableRoot, Some(limit))
       out += s
-      // errors are retried every run; stop when a run attempts only errors
-      keepGoing = s.attempted > 0 && (s.ok + s.notFound + s.robotsDenied) > 0
+      // retryable errors leave the frontier after MaxErrorRetries recorded
+      // attempts, so an empty slice (attempted == 0) means true exhaustion —
+      // slices always advance into fresh frontier instead of re-fetching
+      // known-permanent failures forever
+      keepGoing = s.attempted > 0
     }
     out.toSeq
   }

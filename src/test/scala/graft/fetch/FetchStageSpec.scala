@@ -8,7 +8,8 @@ class FetchStageSpec extends SparkTestBase {
 
   private def tasks(n: Int, host: String) =
     (1 to n).map(i => FetchTask(s"$host/u$i", host, i.toLong, 1, i.toLong,
-      i.toLong * 31, i % 4, robots_denied = false)).toDS()
+      i.toLong * 31, i % 4, content_hash = i.toLong * 7,
+      robots_denied = false)).toDS()
 
   test("R1 window budget: exhausted budget sleeps to the window reset (ref rate_limit.py:15-34)") {
     // 100ms interval, 5 requests per 1000ms window → requests 6.. jump to

@@ -191,6 +191,71 @@ class CrawlPipelineSpec extends SparkTestBase {
     projects.unpersist()
   }
 
+  test("retryable errors leave the frontier after MaxErrorRetries attempts; " +
+      "runUntilDone exhausts instead of re-fetching failures forever") {
+    // need ids ≥ 997 so the never-succeeding outcome class exists
+    val bigStore = Files.createTempDirectory("graft-store-big").toString
+    SyntheticStore.ensureOnDisk(spark, bigStore, 1200L)
+    val root = freshRoot()
+    val summaries = CrawlPipeline.runUntilDone(spark, bigStore, root, 500L)
+    // terminated (last run attempted nothing) and every error unit was
+    // attempted exactly MaxErrorRetries times
+    assert(summaries.last.attempted == 0)
+    val errorIds = (1L to 1200L).filter(id => id % 997 == 0 && id % 103 != 0)
+    assert(errorIds.nonEmpty)
+    val meta = CrawlPipeline.crawlingMeta(spark, root).get
+    val errMeta = meta.filter(col("unit_path")
+      .isin(errorIds.map(CrawlPipeline.expectedUnitPath): _*)).collect()
+    errMeta.foreach { r =>
+      assert(r.getAs[Long]("visits") == CrawlPipeline.MaxErrorRetries,
+        s"error unit visited ${r.getAs[Long]("visits")} times")
+      assert(r.isNullAt(r.fieldIndex("last_successfully_visited")))
+    }
+    // successful units were visited exactly once
+    val okMeta = meta.filter(col("last_successfully_visited").isNotNull)
+    assert(okMeta.filter(col("visits") =!= 1).count() == 0)
+  }
+
+  test("re-visit: store mutation between runs increments visits/changes and " +
+      "stamps last_detected_change (CrawlingMeta, ref data_set.py:17-39)") {
+    val root = freshRoot()
+    CrawlPipeline.run(spark, storeDir, root) // run 1: everything resolved
+    // mutate the store content fingerprint for ids % 10 == 0
+    val mutatedDir = Files.createTempDirectory("graft-store-mut").toString
+    spark.read.parquet(storeDir)
+      .withColumn("mid", regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long"))
+      .withColumn("phash",
+        when(pmod(col("mid"), lit(10)) === 0, col("phash") + 1).otherwise(col("phash")))
+      .drop("mid")
+      .write.mode("overwrite").parquet(mutatedDir)
+    CrawlPipeline.run(spark, mutatedDir, root, revisit = true) // run 2
+    val meta = CrawlPipeline.crawlingMeta(spark, root).get.cache()
+
+    val mutated = (1L to N).filter(id =>
+      id % 10 == 0 && id % 103 != 0 && id % 101 != 0 && id % 997 != 0)
+      .map(CrawlPipeline.expectedUnitPath)
+    val mutatedMeta = meta.filter(col("unit_path").isin(mutated: _*)).collect()
+    assert(mutatedMeta.nonEmpty)
+    mutatedMeta.foreach { r =>
+      // run_seq is 0-based: run 1 commits url_seen v0, the re-visit v1
+      assert(r.getAs[Long]("visits") == 2L)
+      assert(r.getAs[Long]("changes") == 1L, s"change not detected: $r")
+      assert(r.getAs[Long]("last_detected_change") == 1L)
+      assert(r.getAs[Long]("last_successfully_visited") == 1L)
+      assert(r.getAs[Long]("first_visited") == 0L)
+    }
+    // unmutated ok units: re-visited, no change detected
+    val un = (1L to N).filter(id =>
+      id % 10 != 0 && id % 103 != 0 && id % 101 != 0 && id % 997 != 0)
+      .map(CrawlPipeline.expectedUnitPath)
+    val unMeta = meta.filter(col("unit_path").isin(un.take(50): _*)).collect()
+    unMeta.foreach { r =>
+      assert(r.getAs[Long]("visits") == 2L && r.getAs[Long]("changes") == 0L)
+      assert(r.isNullAt(r.fieldIndex("last_detected_change")))
+    }
+    meta.unpersist()
+  }
+
   test("golden crawl order: ascending id within each host (F1/F3/F4), interleave = (priority, seq) data") {
     val root = freshRoot()
     CrawlPipeline.run(spark, storeDir, root)
