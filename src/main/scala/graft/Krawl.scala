@@ -81,20 +81,68 @@ object Krawl {
         col("emitted._1").as("toml"), col("emitted._2").as("json"))
   }
 
-  /** `krawl validate` equivalent (validator/strict.py:24-67 subset): rule
-    * columns over normalized projects; ok = no failure reasons.
+  /** `krawl validate` equivalent (validator/strict.py:24-88 + the C19 regex
+    * constants from validator/__init__.py:16-26): rule columns over
+    * normalized projects; ok = no failure reasons. Rules, in fixed order:
+    * okhv presence + known-version check (strict.py:28-31), name/repo/
+    * function bounds (33-36), version presence (50-51), licensor presence
+    * (37), license presence + BLOCKED-license check (56-59, via the full
+    * LicenseDim), BCP-47 documentation-language tags (45-47), and
+    * relative-path validation for readme/bom/manufacturing-instructions/
+    * user-manual files (117-139). Semver is a WARNING, not a failure — the
+    * reference deactivated version validation (strict.py:52-54) because
+    * platform versions are often timestamps.
     */
   def validate(projects: DataFrame): DataFrame = {
     import graft.functions.ScalarFunctions
+    val spark = projects.sparkSession
+    // tolerate partial schemas (typed defaults for absent breadth columns)
+    val defaults: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "okhv" -> lit(null).cast("string"),
+      "licensor" -> array().cast(s"array<${Normalizers.agentType}>"),
+      "documentation_language" -> array().cast("array<string>"),
+      "readme" -> array().cast(s"array<${Normalizers.fileType}>"),
+      "bom" -> array().cast(s"array<${Normalizers.fileType}>"),
+      "manufacturing_instructions" -> array().cast(s"array<${Normalizers.fileType}>"),
+      "user_manual" -> array().cast(s"array<${Normalizers.fileType}>"))
+    val prepared = defaults.foldLeft(projects) { case (df, (n, d)) =>
+      if (df.columns.contains(n)) df else df.withColumn(n, d)
+    }
+    val withLic = graft.model.LicenseDim.resolve(spark, prepared, "license_spdx")
+
+    // strict.py:117-139: relative paths must not start with '/', './', '../'
+    // or contain '/../' or '/./'
+    val badPathRe = "(^/)|(^\\.\\.?/)|(/\\.\\.?/)"
+    def badFilePaths(c: String) =
+      exists(col(c), f => f.getField("path").rlike(badPathRe))
+
+    val knownOkhv = lower(col("okhv")).isin("okhv1.0", "okh-loshv1.0")
     val reasons = concat_ws(",",
+      when(col("okhv").isNull, lit("missing-okhv"))
+        .when(!(knownOkhv || col("okhv").rlike(ScalarFunctions.OkhvPattern)),
+          lit("invalid-okhv")),
       when(col("name").isNull || length(col("name")) < 1 || length(col("name")) > 256,
         lit("bad-name")),
       when(col("repo").isNull || !col("repo").rlike("^https?://"), lit("bad-repo")),
       when(length(col("function")) > 100000, lit("function-too-long")),
       when(col("version").isNull, lit("missing-version")),
-      when(col("license_spdx").isNull, lit("unknown-license")))
-    projects
+      when(size(col("licensor")) === 0, lit("missing-licensor")),
+      when(col("license_spdx").isNull, lit("unknown-license")),
+      when(col("is_blocked") === true, lit("blocked-license")),
+      when(exists(col("documentation_language"),
+        l => !l.rlike(ScalarFunctions.Bcp47Pattern)), lit("invalid-language")),
+      when(badFilePaths("readme"), lit("bad-readme-path")),
+      when(badFilePaths("bom"), lit("bad-bom-path")),
+      when(badFilePaths("manufacturing_instructions"),
+        lit("bad-manufacturing-instructions-path")),
+      when(badFilePaths("user_manual"), lit("bad-user-manual-path")))
+    val warnings = concat_ws(",",
+      when(col("version").isNotNull &&
+        !col("version").rlike(ScalarFunctions.SemverPattern), lit("nonsemver-version")))
+    withLic
       .withColumn("reasons", reasons)
+      .withColumn("warnings", warnings)
       .withColumn("ok", col("reasons") === "")
+      .drop("norm_license", "spdx_id", "is_blocked", "is_osi_approved")
   }
 }

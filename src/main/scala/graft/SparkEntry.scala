@@ -35,9 +35,61 @@ object SparkEntry {
     "q_robots_gate" -> ((s, d) => CrawlOps.robotsGate(s, d)),
     "q_manifest_filter" -> ((s, d) => CrawlOps.manifestFilter(s, d)),
     "q_license_join" -> ((s, d) => CrawlOps.licenseJoin(s, d)),
+    // full license dimension (licenses.py:117-226): SPDX asset JSON loaded
+    // via spark.read, NFKD-casefold normalize_name key, name→id fallback
+    "q_license_resolve" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val raw = s.read.parquet(s"$d/part.parquet").select(
+        col("p_partkey").as("k"),
+        element_at(array(
+          lit("MIT"), lit("mit"), lit("Apache License 2.0"), lit("ＭＩＴ"),
+          lit("CERN-OHL-S-2.0"), lit("GNU General Public License v3.0 or later"),
+          lit("CC-BY-NC-4.0"), lit("TotallyUnknown License")),
+          (pmod(col("p_partkey"), lit(8)) + 1).cast("int")).as("raw_license"))
+      graft.model.LicenseDim.resolve(s, raw, "raw_license")
+        // nullable booleans as strings: pandas renders bool-nulls as NaN on
+        // one engine and None on the other → string-typed for hash parity
+        .select(col("k"), col("raw_license"), col("spdx_id"),
+          col("is_blocked").cast("string").as("is_blocked"),
+          col("is_osi_approved").cast("string").as("is_osi_approved"))
+    }),
     "q_image_dedup" -> ((s, d) => CrawlOps.imageDedup(s, d)),
     "q_part_names" -> ((s, d) => CrawlOps.partNames(s, d)),
     "q_validate" -> ((s, d) => CrawlOps.validate(s, d)),
+    // S4/J3: repo-info enrich — dedup(owner,repo) memoization → lookup seam
+    // → broadcast-back join (github.py:501-550)
+    "q_repo_enrich" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val frontier = s.read.parquet(s"$d/part.parquet").select(
+        col("p_partkey").as("k"),
+        concat(lit("owner"), pmod(col("p_partkey"), lit(10))).as("owner"),
+        concat(lit("repo"), pmod(col("p_partkey"), lit(37))).as("repo"),
+        when(pmod(col("p_partkey"), lit(3)) === 0,
+          concat(lit("v"), pmod(col("p_partkey"), lit(5))))
+          .otherwise(lit(null).cast("string")).as("ref"))
+      RepoEnrich.enrich(s, frontier)
+        .select("k", "owner", "repo", "ref", "default_branch")
+    }),
+    // bare-repo manifest probe order okh.{toml,yaml,yml,json,ttl,rdf,jsonld}
+    // (github.py:43,362-368)
+    "q_manifest_probe" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val exts = RepoEnrich.ManifestProbeExtensions
+      val base = s.read.parquet(s"$d/part.parquet")
+        .select(col("p_partkey").as("k"),
+          concat(lit("u"), col("p_partkey")).as("unit_path"))
+      val units = base.select("unit_path")
+      val files = base.filter(pmod(col("k"), lit(5)) =!= 4)
+        .select(col("k"), col("unit_path"),
+          concat(lit("okh."), element_at(
+            array(exts.map(lit(_)): _*), (pmod(col("k"), lit(7)) + 1).cast("int")))
+            .as("file_name"))
+        .unionByName(
+          base.filter(pmod(col("k"), lit(5)) =!= 4 && pmod(col("k"), lit(2)) === 0)
+            .select(col("k"), col("unit_path"), lit("okh.json").as("file_name")))
+        .select("unit_path", "file_name")
+      RepoEnrich.probeManifest(units, files).select("unit_path", "manifest_file")
+    }),
     "q_license_merge" -> ((s, d) => CrawlOps.licenseMerge(s, d)),
     "q_newest_per_group" -> ((s, d) => CrawlOps.newestPerGroup(s, d)),
     // CrawlingMeta re-visit bookkeeping (data_set.py:17-39) over a
@@ -135,6 +187,31 @@ object SparkEntry {
         size(col("documentation_language")).cast("long").as("n_langs"),
         size(col("attestation")).cast("long").as("n_attestations"),
         get(col("software"), lit(0)).getField("license_spdx").as("sw_license"))
+    }),
+    // strict validation (validator/strict.py:24-88 + C19 regexes) over
+    // normalized manifests with injected defects, oracle-checked against
+    // the closed-form expected reasons per key
+    "q_validate_projects" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val raw = s.read.parquet(s"$d/part.parquet").select(col("p_partkey"))
+        .as[Long].map(k => (k, graft.fixtures.SyntheticManifests.toml(k)))
+        .toDF("k0", "content").withColumn("fmt", lit("toml"))
+      val p = graft.normalize.Normalizers.manifest(s, raw)
+        .withColumn("k", regexp_extract(col("repo"), "repo(\\d+)$", 1).cast("long"))
+        // injected defects, keyed deterministically
+        .withColumn("okhv",
+          when(pmod(col("k"), lit(9)) === 0, lit("OKH-bogus ?")).otherwise(col("okhv")))
+        .withColumn("documentation_language",
+          when(pmod(col("k"), lit(10)) === 3, array(lit("not a lang!")))
+            .otherwise(col("documentation_language")))
+        .withColumn("version",
+          when(pmod(col("k"), lit(8)) === 5, lit("v1.0")).otherwise(col("version")))
+        .withColumn("readme",
+          when(pmod(col("k"), lit(12)) === 7, array(struct(
+            lit(null).cast("string").as("name"), lit("../evil.md").as("path"),
+            lit(null).cast("string").as("url")))).otherwise(col("readme")))
+      graft.Krawl.validate(p).select("k", "reasons", "warnings", "ok")
     }),
     // full 3-graph RDF serialization (C24 parity with rdf_serializer.py:
     // 75-869): every project → toml/meta/data graphs, exploded to the
@@ -313,6 +390,28 @@ object SparkEntry {
         |  FROM part)
         |SELECT w.k, w.license_name, d.spdx, d.spdx IS NOT NULL AS is_open_source
         |FROM withl w LEFT JOIN dim d USING (license_name)""".stripMargin,
+    "q_license_resolve" ->
+      """WITH t AS (
+        |  SELECT p_partkey AS k,
+        |    CASE p_partkey % 8
+        |      WHEN 0 THEN 'MIT' WHEN 1 THEN 'mit'
+        |      WHEN 2 THEN 'Apache License 2.0' WHEN 3 THEN 'ＭＩＴ'
+        |      WHEN 4 THEN 'CERN-OHL-S-2.0'
+        |      WHEN 5 THEN 'GNU General Public License v3.0 or later'
+        |      WHEN 6 THEN 'CC-BY-NC-4.0' ELSE 'TotallyUnknown License' END AS raw_license,
+        |    CASE p_partkey % 8
+        |      WHEN 0 THEN 'MIT' WHEN 1 THEN 'MIT' WHEN 2 THEN 'Apache-2.0'
+        |      WHEN 3 THEN 'MIT' WHEN 4 THEN 'CERN-OHL-S-2.0'
+        |      WHEN 5 THEN 'GPL-3.0-or-later' WHEN 6 THEN 'CC-BY-NC-4.0'
+        |      ELSE NULL END AS spdx_id
+        |  FROM part)
+        |SELECT k, raw_license, spdx_id,
+        |  CASE WHEN spdx_id IS NULL THEN NULL
+        |       WHEN spdx_id = 'CC-BY-NC-4.0' THEN 'true' ELSE 'false' END AS is_blocked,
+        |  CASE WHEN spdx_id IS NULL THEN NULL
+        |       WHEN spdx_id IN ('MIT','Apache-2.0','CERN-OHL-S-2.0','GPL-3.0-or-later')
+        |       THEN 'true' ELSE 'false' END AS is_osi_approved
+        |FROM t""".stripMargin,
     "q_image_dedup" ->
       """SELECT l_orderkey AS project_id,
         |       'img://' || (l_partkey % 50) AS image_url,
@@ -343,6 +442,47 @@ object SparkEntry {
         |    CASE WHEN lang NOT IN ('en','de','fr','es','it','pt','nl') THEN 'bad-lang' END,
         |    CASE WHEN length(source) = 0 THEN 'no-source' END) = '' AS ok
         |FROM documents""".stripMargin,
+    "q_validate_projects" ->
+      """SELECT p_partkey AS k,
+        |  concat_ws(',',
+        |    CASE WHEN p_partkey % 9 = 0 THEN 'invalid-okhv' END,
+        |    CASE WHEN p_partkey % 4 = 3 THEN 'unknown-license' END,
+        |    CASE WHEN p_partkey % 10 = 3 THEN 'invalid-language' END,
+        |    CASE WHEN p_partkey % 12 = 7 THEN 'bad-readme-path' END) AS reasons,
+        |  CASE WHEN p_partkey % 8 = 5 THEN 'nonsemver-version' ELSE '' END AS warnings,
+        |  concat_ws(',',
+        |    CASE WHEN p_partkey % 9 = 0 THEN 'invalid-okhv' END,
+        |    CASE WHEN p_partkey % 4 = 3 THEN 'unknown-license' END,
+        |    CASE WHEN p_partkey % 10 = 3 THEN 'invalid-language' END,
+        |    CASE WHEN p_partkey % 12 = 7 THEN 'bad-readme-path' END) = '' AS ok
+        |FROM part""".stripMargin,
+    "q_repo_enrich" ->
+      """WITH t AS (
+        |  SELECT p_partkey AS k,
+        |         'owner' || (p_partkey % 10) AS owner,
+        |         'repo' || (p_partkey % 37) AS repo,
+        |         CASE WHEN p_partkey % 3 = 0 THEN 'v' || (p_partkey % 5) END AS ref
+        |  FROM part),
+        |e AS (
+        |  SELECT *, CASE (length(owner) * 7 + length(repo)) % 3
+        |    WHEN 0 THEN 'main' WHEN 1 THEN 'master' ELSE 'develop' END AS default_branch
+        |  FROM t)
+        |SELECT k, owner, repo, coalesce(ref, default_branch) AS ref, default_branch
+        |FROM e""".stripMargin,
+    "q_manifest_probe" ->
+      """WITH e AS (
+        |  SELECT p_partkey AS k,
+        |    CASE WHEN p_partkey % 5 = 4 THEN NULL
+        |         WHEN p_partkey % 2 = 0 AND 3 < (p_partkey % 7) THEN 3
+        |         ELSE p_partkey % 7 END AS best
+        |  FROM part)
+        |SELECT 'u' || k AS unit_path,
+        |  CASE WHEN best IS NULL THEN NULL
+        |       WHEN best = 0 THEN 'okh.toml' WHEN best = 1 THEN 'okh.yaml'
+        |       WHEN best = 2 THEN 'okh.yml' WHEN best = 3 THEN 'okh.json'
+        |       WHEN best = 4 THEN 'okh.ttl' WHEN best = 5 THEN 'okh.rdf'
+        |       ELSE 'okh.jsonld' END AS manifest_file
+        |FROM e""".stripMargin,
     "q_license_merge" ->
       """WITH base(norm_name, name, is_osi, is_spdx) AS (VALUES
         |  ('mit', 'MIT', true, true),

@@ -206,10 +206,13 @@ object ScalarFunctions {
     ("png", "image", null), ("jpg", "image", null), ("gif", "image", null),
     ("md", "text", null), ("txt", "text", null), ("csv", "sheet", null))
 
-  def fileFormatsDf(spark: org.apache.spark.sql.SparkSession) = {
-    import spark.implicits._
-    fileFormats.toDF("extension", "file_type", "category")
-  }
+  /** S14: the dimension is LOADED from an asset file with spark.read
+    * (file_formats.py:29-60 loads krawl/assets/file_extensions); the Seq
+    * above stays as the row-level constant and a spec pins csv == Seq.
+    */
+  def fileFormatsDf(spark: org.apache.spark.sql.SparkSession) =
+    spark.read.option("header", "true")
+      .csv(graft.model.LicenseDim.assetPath("file_extensions.csv"))
 
   /** C10: mime-type guess from extension (reference: model/file.py:48-60
     * uses Python mimetypes; we carry the common table).
@@ -221,8 +224,7 @@ object ScalarFunctions {
     "json" -> "application/json", "toml" -> "application/toml",
     "yml" -> "application/yaml", "yaml" -> "application/yaml",
     "pdf" -> "application/pdf", "zip" -> "application/zip")
-  def mimeTypesDf(spark: org.apache.spark.sql.SparkSession) = {
-    import spark.implicits._
-    mimeTypes.toSeq.toDF("extension", "mime_type")
-  }
+  def mimeTypesDf(spark: org.apache.spark.sql.SparkSession) =
+    spark.read.option("header", "true")
+      .csv(graft.model.LicenseDim.assetPath("mime_types.csv"))
 }

@@ -33,12 +33,21 @@ object Sources {
     * (appropedia.py:241-262). The reference SORTS the URL list ascending and
     * that sort DEFINES its crawl order (F1) — seq is the post-sort rank.
     */
+  /** P10: auto-translated Appropedia pages end in a "/xx" language suffix
+    * and are skipped by the reference (appropedia.py:40
+    * `_re_auto_translated_page_title`).
+    */
+  val AutoTranslatedTitlePattern = ".*/[a-z]{2}$"
+
   def appropediaIndex(spark: SparkSession, path: String): DataFrame = {
-    val urls = spark.read.option("wholetext", "true").text(path)
+    spark.read.option("wholetext", "true").text(path)
       .select(from_json(col("value"), org.apache.spark.sql.types.DataType.fromDDL("array<string>")).as("urls"))
-      .select(posexplode(expr("array_sort(urls)")).as(Seq("seq", "url")))
+      // P10: drop auto-translated pages BEFORE ranking so the crawl order
+      // covers exactly the kept pages
+      .select(posexplode(expr(
+        s"filter(array_sort(urls), u -> NOT regexp_like(u, '$AutoTranslatedTitlePattern'))"))
+        .as(Seq("seq", "url")))
       .withColumn("seq", col("seq").cast("long"))
-    urls
   }
 
   /** S6: recursive manifest-tree scan — the reference's four fixed globs in

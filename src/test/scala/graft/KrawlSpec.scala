@@ -54,15 +54,23 @@ class KrawlSpec extends SparkTestBase {
 
   test("validate: rule columns over normalized projects (§3.3, strict.py subset)") {
     val good = ("toml",
-      "name = \"Ok\"\nrepo = \"https://x.org/a\"\nversion = \"1\"\nlicense = \"MIT\"\nlicensor = \"A\"\n")
+      "okhv = \"OKH-LOSHv1.0\"\nname = \"Ok\"\nrepo = \"https://x.org/a\"\nversion = \"1\"\nlicense = \"MIT\"\nlicensor = \"A\"\n")
     val badLicense = ("toml",
-      "name = \"Bad\"\nrepo = \"https://x.org/b\"\nversion = \"1\"\nlicense = \"MIT CC0-1.0\"\nlicensor = \"A\"\n")
+      "okhv = \"OKH-LOSHv1.0\"\nname = \"Bad\"\nrepo = \"https://x.org/b\"\nversion = \"1\"\nlicense = \"MIT CC0-1.0\"\nlicensor = \"A\"\n")
+    // no okhv at all → strict.py:28-29 "missing okhv"
+    val noOkhv = ("toml",
+      "name = \"NoV\"\nrepo = \"https://x.org/c\"\nversion = \"1\"\nlicense = \"MIT\"\nlicensor = \"A\"\n")
+    // blocked license (validator blocklist via the full LicenseDim)
+    val blocked = ("toml",
+      "okhv = \"OKH-LOSHv1.0\"\nname = \"Blk\"\nrepo = \"https://x.org/d\"\nversion = \"1\"\nlicense = \"CC-BY-NC-4.0\"\nlicensor = \"A\"\n")
     val projects = graft.normalize.Normalizers.manifest(spark,
-      Seq(good, badLicense).toDF("fmt", "content"))
+      Seq(good, badLicense, noOkhv, blocked).toDF("fmt", "content"))
     val v = Krawl.validate(projects)
       .select("name", "ok", "reasons").collect()
       .map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap
     assert(v("Ok") == (true, ""))
     assert(!v("Bad")._1 && v("Bad")._2.contains("unknown-license"))
+    assert(!v("NoV")._1 && v("NoV")._2.contains("missing-okhv"))
+    assert(!v("Blk")._1 && v("Blk")._2.contains("blocked-license"))
   }
 }

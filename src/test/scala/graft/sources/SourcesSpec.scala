@@ -32,6 +32,21 @@ class SourcesSpec extends SparkTestBase {
     assert(rows.toSeq == Seq("https://www.appropedia.org/Apple", "https://www.appropedia.org/Zebra"))
   }
 
+  test("P10: auto-translated pages (/xx language suffix) dropped before ranking " +
+      "(ref appropedia.py:40)") {
+    val dir = tmp()
+    Files.writeString(Paths.get(dir, "list.json"),
+      """["https://www.appropedia.org/Zebra/de", "https://www.appropedia.org/Apple",
+        | "https://www.appropedia.org/Mango/fr", "https://www.appropedia.org/Zebra"]"""
+        .stripMargin.replace("\n", ""))
+    val rows = Sources.appropediaIndex(spark, s"$dir/list.json").orderBy("seq")
+      .select("seq", "url").as[(Long, String)].collect()
+    assert(rows.map(_._2).toSeq ==
+      Seq("https://www.appropedia.org/Apple", "https://www.appropedia.org/Zebra"))
+    // seq is contiguous over the KEPT pages
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L))
+  }
+
   test("S6 manifest tree: 4 globs, glob_rank, P1 filter, first-wins across globs (ref manifests_repo.py:36-41,154-204)") {
     val dir = tmp()
     Files.createDirectories(Paths.get(dir, "projA"))
