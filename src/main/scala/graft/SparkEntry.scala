@@ -137,6 +137,10 @@ object SparkEntry {
     // ---- training-data pipeline: vectors ----
     "q_ann_cosine" -> ((s, d) => VectorOps.annBruteForce(s, d)),
     "q_ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)), // rows-only
+    // the synthetic embeddings carry no true duplicates (max in-block cosine
+    // ≈0.47), so the query runs the operator at a 0.3 threshold to exercise
+    // the pair-emitting path with oracle-checked rows
+    "q_embed_neardup" -> ((s, d) => VectorOps.embedNearDup(s, d, minPermille = 300)),
     // ---- normalize-stage scalar functions (SURVEY §2.8) ----
     "q_slugify" -> ((s, d) => NormOps.slugify(s, d)),
     "q_openscad_dims" -> ((s, d) => NormOps.openscadDims(s, d)),
@@ -804,6 +808,28 @@ object SparkEntry {
         |FROM t
         |LEFT JOIN mime m ON t.ext = m.m_ext
         |LEFT JOIN fmt f ON t.ext = f.f_ext""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, emb,
+        |    sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm,
+        |    (CASE WHEN emb[1] >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN emb[2] >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN emb[3] >= 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN emb[4] >= 0 THEN 8 ELSE 0 END)
+        |    + (CASE WHEN emb[5] >= 0 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN emb[6] >= 0 THEN 32 ELSE 0 END)
+        |    + (CASE WHEN emb[7] >= 0 THEN 64 ELSE 0 END)
+        |    + (CASE WHEN emb[8] >= 0 THEN 128 ELSE 0 END) AS block
+        |  FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        |    list_aggregate(list_transform(list_zip(a.emb, c.emb),
+        |      s -> s[1] * s[2]), 'sum') / (a.nrm * c.nrm) AS cos
+        |  FROM b a JOIN b c ON a.block = c.block AND a.vec_id < c.vec_id)
+        |SELECT id_a, id_b, CAST(floor(cos * 1000) AS BIGINT) AS cos_permille
+        |FROM p WHERE floor(cos * 1000) >= 300""".stripMargin,
     "q_ann_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -63,6 +63,36 @@ object VectorOps {
     embeddings(spark, sfDir).select(col("vec_id"), col("emb"), proj.as("bucket"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the dedup-family member over
+    * vectors: candidates blocked by the SIGN PATTERN of the first `nBits`
+    * embedding components (a deterministic, engine-replicable blocking key —
+    * near-identical vectors share component signs), exact cosine within
+    * blocks, pairs kept at `minPermille` similarity. One shuffle on the
+    * block key; no all-pairs join ever materializes (the blocking is the
+    * same family as SimHash block keys for text).
+    */
+  def embedNearDup(spark: SparkSession, sfDir: String,
+      nBits: Int = 8, minPermille: Int = 900): DataFrame = {
+    val blockKey = (0 until nBits).map { i =>
+      when(expr(s"emb[$i]") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val emb = embeddings(spark, sfDir)
+      .withColumn("nrm", norm("emb"))
+      .withColumn("block", blockKey)
+    val a = emb.select(col("block"), col("vec_id").as("id_a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = emb.select(col("block"), col("vec_id").as("id_b"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+          (col("nrm_a") * col("nrm_b")))
+      .withColumn("cos_permille", floor(col("cos") * 1000).cast("long"))
+      .filter(col("cos_permille") >= minPermille)
+      .select(col("id_a"), col("id_b"), col("cos_permille"))
+  }
+
   /** LSH-accelerated ANN: same output shape as `annBruteForce` but
     * candidates restricted to the query's bucket. At 10^10 vectors the
     * bucket key is the shuffle key; no cross join ever materializes.
