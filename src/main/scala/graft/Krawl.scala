@@ -44,9 +44,13 @@ object Krawl {
     val log = FetchStage.run(spark, FetchStage.toTasks(spark, frontier))
     val statusCounts = log.groupBy("status").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    CrawlPipeline.urlSeenStore(tableRoot).append(spark,
-      log.filter(col("status").isin("ok", "not_found", "robots_denied"))
-        .select("unit_path", "hosting_id", "id", "status", "url_hash", "bucket"),
+    val seenStore = CrawlPipeline.urlSeenStore(tableRoot)
+    // same event-log schema as CrawlPipeline.run (one row per attempt,
+    // run_seq + content_hash) so mixed commits stay union-compatible
+    seenStore.append(spark,
+      log.select(col("unit_path"), col("hosting_id"), col("id"), col("status"),
+        col("url_hash"), col("bucket"), col("content_hash"))
+        .withColumn("run_seq", lit(seenStore.currentVersion.getOrElse(-1L) + 1)),
       "bucket", statusCounts, clusterBeforeWrite = true)
     // report: per input URL, its outcome (missing from store → not_in_store)
     parsed.join(log.select(col("unit_path"), col("status")), Seq("unit_path"), "left_outer")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.UrlFunctions
@@ -64,16 +64,47 @@ object CrawlOps {
       .groupBy(col("unit_path"), col("hosting_id"))
       .agg(min("seq").as("first_seq"), count(lit(1)).as("n_aliases"))
 
+  /** Distributed global rank over `keys` (unique composite assumed): range-
+    * partition on the keys, per-partition row_number, plus the broadcast
+    * prefix-sum of partition sizes. Two passes, but NO single-partition
+    * window — the global sort stays distributed at any scale (the classic
+    * sort + zipWithIndex pattern, DataFrame-native).
+    */
+  def globalRank(df: DataFrame, rankCol: String, keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      // persist so the count pass and the rank pass see the SAME sampling-
+      // derived range boundaries
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranged.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L) { case (acc, pid) =>
+      acc + counts.getOrElse(pid, 0L)
+    }
+    import spark.implicits._
+    val offsetsDf = (0 until parts).map(pid => (pid, offsets(pid))).toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+    val out = ranged
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn(rankCol, (col("__off") + col("__rn")).cast("int"))
+      .drop("__pid", "__rn", "__off")
+    ranged.unpersist(blocking = false)
+    out
+  }
+
   /** Golden serial crawl order (SURVEY §2.5 W1): rank over
-    * (priority, first_seq). Global window — verification-sample only by
-    * design; order is data (priority/seq columns), never execution order.
+    * (priority, first_seq). Order is data (priority/seq columns), never
+    * execution order; the rank itself is computed with the distributed
+    * `globalRank` (range partition + offsets), not a single-partition
+    * window, so even the verification pass survives a 100× scale-up.
     */
   def crawlOrder(spark: SparkSession, sfDir: String): DataFrame = {
     val deduped = frontierDedup(spark, sfDir)
       .withColumn("priority", UrlFunctions.hostPriority(col("hosting_id")))
-    deduped
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("priority"), col("first_seq"))))
+    globalRank(deduped, "rank", col("priority"), col("first_seq"))
       .select(col("rank"), col("priority"), col("unit_path"), col("hosting_id"), col("first_seq"))
   }
 

@@ -105,7 +105,9 @@ final class SnapshotStore(val root: String) {
           .option("basePath", s"$root/$commitDir")
           .parquet(fs.map(f => s"$root/${f.path}"): _*)
       }
-      Some(parts.reduce(_ unionByName _))
+      // allowMissingColumns: older commits may predate later schema
+      // widenings (missing columns read as null — parquet-style evolution)
+      Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
     }
 
   /** Append `df` as a new commit. `partitionCol` drives both the on-disk

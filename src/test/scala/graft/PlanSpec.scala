@@ -112,6 +112,14 @@ class PlanSpec extends SparkTestBase {
     assert(formatted.contains("canonical_unit_path"), "expression missing from plan")
   }
 
+  test("q_crawl_order: distributed global rank — range partitioning, no " +
+      "single-partition window (VERDICT r1 watch item)") {
+    val p = plan("q_crawl_order")
+    assert(p.contains("rangepartitioning"), s"expected range partitioning:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"golden-order rank collapsed to a single partition:\n$p")
+  }
+
   test("frontier stage: fully codegen'd, no Scala UDFs on the hot path (VERDICT r1 #9)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
