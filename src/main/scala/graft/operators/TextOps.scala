@@ -144,7 +144,23 @@ object TextOps {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String, minPermille: Int = 100,
       maxDf: Int = 1000): DataFrame = {
-    val sh = shingles(spark, sfDir).cache()
+    // shingles leave the scan task as 8-byte xxhash64 keys, never as
+    // strings — the dedup/df/index joins all shuffle longs (the string
+    // form shuffled ~30 bytes/shingle 3×; identical counts modulo 64-bit
+    // collisions, whose any-collision probability at 10^7 distinct
+    // shingles is ~5e-6)
+    val words = split(trim(lower(col("text"))), "\\s+")
+    val n = 5
+    val sh = docs(spark, sfDir)
+      .select(col("doc_id"), words.as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(words) - ${n - 1}), " +
+            s"i -> xxhash64(concat_ws(' ', slice(words, i, $n))))"))
+          .as("shingle"))
+      .distinct()
+      .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
