@@ -26,6 +26,8 @@ object Normalizers {
   // dataclass defaults) ----
 
   val fileType = "struct<name:string,path:string,url:string>"
+  val imageType = "struct<name:string,path:string,url:string," +
+    "slots:array<string>,tags:array<string>,depicts:array<string>>"
   val agentType = "struct<name:string,email:string,url:string>"
   val dimsType = "struct<width:double,height:double,depth:double>"
   val partType = s"struct<name:string,name_clean:string," +
@@ -303,7 +305,7 @@ object Normalizers {
     StructField("bom", StringType), // manifest.py:235
     StructField("manufacturing-instructions", StringType), // manifest.py:236
     StructField("user-manual", StringType), // manifest.py:237
-    StructField("image", ArrayType(StringType)),
+    // image is parsed SEPARATELY (string-or-dict entries; see `manifest`)
     StructField("mass", DoubleType),
     StructField("outer-dimensions", StructType(Seq(
       StructField("width", DoubleType),
@@ -380,7 +382,36 @@ object Normalizers {
         s"case when $v like 'http%' then cast(null as string) else $v end as path, " +
         s"case when $v like 'http%' then $v else cast(null as string) end as url)"
 
-    m.select(
+    // image entries are string OR dict (manifest.py:455-475). The
+    // array<string> view of the image array keeps string entries as-is and
+    // renders dict entries as their raw JSON text — each element then
+    // resolves in-lambda: '{'-prefixed → nested from_json (slots/tags/
+    // depicts), anything else → path-or-URL file struct.
+    def imgStructSql(v: String): String =
+      s"struct(cast(null as string) as name, " +
+        s"case when $v like 'http%' then cast(null as string) else $v end as path, " +
+        s"case when $v like 'http%' then $v else cast(null as string) end as url, " +
+        s"array() as slots, array() as tags, array() as depicts)"
+    val strArr = from_json(get_json_object(col("manifest_json"), "$.image"),
+      ArrayType(StringType))
+    val imageColumn =
+      when(col("__img_str").isNotNull, expr(
+        s"""filter(
+           |  transform(
+           |    transform(__img_str, s -> CASE
+           |      WHEN s IS NULL THEN NULL
+           |      WHEN s LIKE '{%' THEN from_json(s, '$imageType')
+           |      ELSE ${imgStructSql("s")} END),
+           |    o -> CASE WHEN o IS NULL OR (o.path IS NULL AND o.url IS NULL) THEN NULL
+           |         ELSE struct(o.name as name, o.path as path, o.url as url,
+           |              coalesce(o.slots, array()) as slots,
+           |              coalesce(o.tags, array()) as tags,
+           |              coalesce(o.depicts, array()) as depicts) END),
+           |  x -> x IS NOT NULL)""".stripMargin))
+        .otherwise(array().cast(s"array<$imageType>"))
+
+    m.withColumn("__img_str", strArr)
+      .select(
       col("m.repo").as("project_id"),
       col("m.name").as("name"),
       col("m.repo").as("repo"),
@@ -401,8 +432,11 @@ object Normalizers {
       col("m.`technology-readiness-level`").as("trl"),
       col("m.`documentation-readiness-level`").as("drl"),
       col("m.`cpc-patent-class`").as("cpc_patent_class"),
-      expr("transform(coalesce(m.image, array()), u -> struct(null as name, u as url))")
-        .as("image"),
+      // images: string-or-dict entries (manifest.py:455-475 `_images` —
+      // dicts carry slots/tags/depicts). Two positional parses of the same
+      // JSON array zip_with'd: a dict element resolves through the struct
+      // parse, a string element through the string parse.
+      imageColumn.as("image"),
       expr("transform(coalesce(m.part, array()), p -> struct(p.name as name, p.source as url))")
         .as("source"),
       expr("""flatten(transform(coalesce(m.part, array()),

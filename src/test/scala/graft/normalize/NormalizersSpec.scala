@@ -208,6 +208,41 @@ class NormalizersSpec extends SparkTestBase {
       .head.getAs[String]("url") == "https://ex.org/7/readme.md")
   }
 
+  test("manifest images: string-or-dict entries; dicts carry slots/tags/depicts " +
+      "(ref manifest.py:455-475, file.py:94-176)") {
+    val toml =
+      """okhv = "OKH-LOSHv1.0"
+        |name = "Imgs"
+        |repo = "https://github.com/a/imgs"
+        |version = "1.0.0"
+        |license = "MIT"
+        |licensor = "A"
+        |function = "shows images"
+        |image = [ "front.png", { url = "https://x/main.png", slots = ["icon-main", "photo-thing-main"], tags = ["photo", "color"], depicts = ["front view"] } ]
+        |""".stripMargin
+    val m = Normalizers.manifest(spark, Seq(("toml", toml)).toDF("fmt", "content"))
+    val imgs = m.collect()(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("image")
+    assert(imgs.size == 2)
+    // string entry → relative path, no metadata
+    assert(imgs(0).getAs[String]("path") == "front.png")
+    assert(imgs(0).getAs[String]("url") == null)
+    assert(imgs(0).getAs[scala.collection.Seq[String]]("slots").isEmpty)
+    // dict entry → url + slots/tags/depicts
+    assert(imgs(1).getAs[String]("url") == "https://x/main.png")
+    assert(imgs(1).getAs[scala.collection.Seq[String]]("slots")
+      == Seq("icon-main", "photo-thing-main"))
+    assert(imgs(1).getAs[scala.collection.Seq[String]]("tags") == Seq("photo", "color"))
+    assert(imgs(1).getAs[scala.collection.Seq[String]]("depicts") == Seq("front view"))
+
+    // and the slots/tags flow into the RDF image triples (rdf_serializer.py:761-779)
+    val p = graft.model.ProjectModel.fromRow(m.collect()(0))
+    val docs = graft.serialize.RdfSerializer.serialize(p,
+      graft.model.CrawlMeta.initial("github.com", "manifest"))
+    assert(docs.data_okh_ttl.contains("okh:fillsSlot okhimg:slotIconMain"))
+    assert(docs.data_okh_ttl.contains("okh:hasTag okhimg:tagPhoto"))
+    assert(docs.data_okh_ttl.contains("okh:depicts \"front view\""))
+  }
+
   test("manifest breadth feeds the 3-graph RDF serializer end-to-end") {
     val m = Normalizers.manifest(spark,
       Seq(("toml", graft.fixtures.SyntheticManifests.toml(14L))).toDF("fmt", "content"))
