@@ -61,8 +61,12 @@ object Normalizers {
     when(c.isNull || lang === "und", emptyStrs).otherwise(array(lang))
   }
 
-  /** The wide tail appended by platforms that only know the core fields. */
+  /** The wide tail appended by platforms that only know the core fields.
+    * `okhv` is the per-fetcher schema-version constant ("OKH-LOSHv1.0" for
+    * API platforms — thingiverse.py:211, oshwa.py:88).
+    */
   private def wideTail(descriptionCol: Column): Seq[Column] = Seq(
+    lit("OKH-LOSHv1.0").as("okhv"),
     lit(null).cast("string").as("release"),
     emptyAgents.as("organization"),
     emptyFiles.as("readme"),

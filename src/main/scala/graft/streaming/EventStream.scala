@@ -28,6 +28,30 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value_cents"))
 
+  /** Streaming URL-seen dedup — the frontier's J6/P4 in incremental form:
+    * first-wins per unit_path across ALL micro-batches via
+    * `mapGroupsWithState` (the Bloom+anti-join batch dedup's streaming
+    * twin; state = one boolean per seen unit, partitioned by unit_path so
+    * state shards scale with the key space).
+    */
+  final case class FrontierUrl(unit_path: String, url: String, seq: Long)
+
+  def streamingUrlSeen(frontier: Dataset[FrontierUrl]): Dataset[FrontierUrl] = {
+    import frontier.sparkSession.implicits._
+    frontier
+      .groupByKey(_.unit_path)
+      .flatMapGroupsWithState[Boolean, FrontierUrl](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // unit already emitted in a prior batch
+          else {
+            state.update(true)
+            // first-wins within the batch: min seq (order is data, W2)
+            Iterator.single(rows.minBy(_.seq))
+          }
+      }
+  }
+
   // ---- stateful politeness pacing ----
 
   final case class FetchRequest(host: String, unit_path: String, ts: Timestamp)

@@ -112,6 +112,18 @@ class PlanSpec extends SparkTestBase {
     assert(formatted.contains("canonical_unit_path"), "expression missing from plan")
   }
 
+  test("q_crawl_meta: one shuffle key (unit_path) shared by window and aggregations") {
+    val p = plan("q_crawl_meta")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"crawl-meta must stay key-joined:\n$p")
+    // every Exchange in the plan partitions on unit_path (no stray keys)
+    val exchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toVector
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(_.contains("unit_path")),
+      s"unexpected shuffle key:\n${exchanges.mkString("\n")}")
+  }
+
   test("q_crawl_order: distributed global rank — range partitioning, no " +
       "single-partition window (VERDICT r1 watch item)") {
     val p = plan("q_crawl_order")

@@ -54,6 +54,35 @@ class EventStreamSpec extends SparkTestBase {
     assert(out2.head.scheduled_ms == t0 + 100000)
   }
 
+  test("streaming URL-seen dedup: first-wins per unit ACROSS micro-batches " +
+      "(J6/P4 incremental twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.FrontierUrl]
+    val deduped = EventStream.streamingUrlSeen(input.toDS())
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("seen_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt3").toString)
+      .start()
+    // batch 1: two aliases of unit A (first-wins by seq) + unit B
+    input.addData(
+      EventStream.FrontierUrl("thingiverse.com/0/7", "https://t/thing:7?x=1", 12L),
+      EventStream.FrontierUrl("thingiverse.com/0/7", "https://t/thing:7", 3L),
+      EventStream.FrontierUrl("github.com/o/r", "https://g/o/r", 5L))
+    q.processAllAvailable()
+    // batch 2: A re-discovered (must NOT re-emit) + new unit C
+    input.addData(
+      EventStream.FrontierUrl("thingiverse.com/0/7", "https://t/thing:7?y=2", 99L),
+      EventStream.FrontierUrl("oshwa.org/us000001", "https://o/us000001", 8L))
+    q.processAllAvailable()
+    val rows = spark.table("seen_out").as[EventStream.FrontierUrl].collect()
+    q.stop()
+    assert(rows.length == 3, s"expected 3 first-wins units, got ${rows.toSeq}")
+    val bySeq = rows.map(r => r.unit_path -> r.seq).toMap
+    assert(bySeq("thingiverse.com/0/7") == 3L) // first-wins within the batch
+    assert(bySeq("github.com/o/r") == 5L)
+    assert(bySeq("oshwa.org/us000001") == 8L)
+  }
+
   test("politeness pacer as a streaming query (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.FetchRequest]
