@@ -44,6 +44,11 @@ object CrawlPipeline {
     * `run` like the reference's raw sink (S9).
     */
   def projectsStore(tableRoot: String) = new SnapshotStore(s"$tableRoot/projects")
+  /** S9 raw sink (reference store_raw, gated by `write_raw=False` —
+    * fetch_result_repository_workdir.py:79-91): per fetched unit, the
+    * data-set metadata as canonical JSON plus the original payload bytes.
+    */
+  def rawStore(tableRoot: String) = new SnapshotStore(s"$tableRoot/raw")
 
   /** Seed URL per store id: four platform families by id residue — the
     * multi-host seed list whose cross-host interleaving the golden crawl
@@ -211,6 +216,7 @@ object CrawlPipeline {
       limit: Option[Long] = None,
       salts: Map[String, Int] = Map.empty,
       rdfSink: Boolean = false, // S10: emit the 3-graph RDF projects table
+      rawSink: Boolean = false, // S9: emit meta-json + original payload bytes
       revisit: Boolean = false, // re-crawl resolved units (change detection)
       crashBeforeSeenCommit: Boolean = false // test hook: injected crash
       ): RunSummary = {
@@ -333,9 +339,29 @@ object CrawlPipeline {
         pStore.append(spark, docs, "id_group", Map("slice_id" -> sliceId))
       }))
     }
+    // S9 raw sink: data-set metadata as canonical JSON + the original
+    // payload bytes, straight from the result rows (to_json is builtin —
+    // no UDF; bytes ride in the same partition layout as results)
+    val rawF = if (!rawSink) None else Some {
+      val store9 = rawStore(tableRoot)
+      Future(alreadyCommitted(store9).getOrElse(timed("raw append") {
+        val raw = results.select(
+          col("unit_path"),
+          to_json(struct(
+            col("unit_path"), col("image_id"),
+            substring_index(col("unit_path"), "/", 1).as("hosting_id"),
+            lit("api").as("sourcing_procedure"),
+            lit("OKH-LOSHv1.0").as("okhv_fetched"),
+            col("phash").as("content_hash"),
+            lit(sliceId + 1).as("run_seq"))).as("meta_json"),
+          col("bytes").as("orig"), col("fmt"), col("id_group"))
+        store9.append(spark, raw, "id_group", Map("slice_id" -> sliceId))
+      }))
+    }
     val resultsSnap = Await.result(resultsF, Duration.Inf)
     Await.result(fetchLogF, Duration.Inf)
     projectsF.foreach(Await.result(_, Duration.Inf))
+    rawF.foreach(Await.result(_, Duration.Inf))
     val resultRows = resultsSnap.metrics("commit_rows")
 
     if (crashBeforeSeenCommit)

@@ -196,6 +196,39 @@ final class SnapshotStore(val root: String) {
     snap
   }
 
+  /** Physically expire history (the Iceberg `expire_snapshots` analogue):
+    * keep the last `keepLast` snapshot manifests; delete every data file
+    * referenced by NO kept snapshot, then the dropped manifests. Versions
+    * below the kept range stop being time-travelable (see `readAt`);
+    * the commit protocol is untouched (CURRENT always stays valid).
+    */
+  def expire(keepLast: Int = 1): Unit = synchronized {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    currentVersion.foreach { cur =>
+      val keepFrom = math.max(0L, cur - keepLast + 1)
+      val kept: Set[String] = (keepFrom to cur)
+        .flatMap(v => readSnapshot(v).files.map(_.path)).toSet
+      val dataDir = p("data")
+      if (Files.exists(dataDir)) {
+        val all = Files.walk(dataDir).iterator().asScala
+          .filter(f => f.toString.endsWith(".parquet")).toVector
+        all.foreach { f =>
+          val rel = p("").toAbsolutePath.relativize(f.toAbsolutePath).toString
+          if (!kept.contains(rel)) Files.delete(f)
+        }
+        // prune directories emptied by the deletes (deepest first)
+        Files.walk(dataDir).iterator().asScala.toVector
+          .filter(Files.isDirectory(_)).sortBy(-_.getNameCount)
+          .foreach { d =>
+            if (d != dataDir && !Files.list(d).iterator().hasNext) Files.delete(d)
+          }
+      }
+      (0L until keepFrom).foreach { v =>
+        Files.deleteIfExists(p("snapshots", s"v$v.json"))
+      }
+    }
+  }
+
   private def footerRowCount(file: Path): Long = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

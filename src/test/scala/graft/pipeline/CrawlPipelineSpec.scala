@@ -256,6 +256,23 @@ class CrawlPipelineSpec extends SparkTestBase {
     meta.unpersist()
   }
 
+  test("S9 raw sink: meta-json + original payload bytes per ok unit (flag-gated)") {
+    val root = freshRoot()
+    val s = CrawlPipeline.run(spark, storeDir, root, rawSink = true)
+    val raw = CrawlPipeline.rawStore(root).read(spark).get.cache()
+    assert(raw.count() == s.ok)
+    assert(raw.columns.toSet == Set("unit_path", "meta_json", "orig", "fmt", "id_group"))
+    val row = raw.filter(col("unit_path").startsWith("thingiverse.com/")).head()
+    // orig bytes are the exact store payload for that unit
+    val id = row.getAs[String]("unit_path").split("/").last.toLong
+    assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("orig"),
+      SyntheticStore.row(id).bytes))
+    val meta = row.getAs[String]("meta_json")
+    assert(meta.contains("\"sourcing_procedure\":\"api\"") &&
+      meta.contains("\"okhv_fetched\":\"OKH-LOSHv1.0\""))
+    raw.unpersist()
+  }
+
   test("golden crawl order: ascending id within each host (F1/F3/F4), interleave = (priority, seq) data") {
     val root = freshRoot()
     CrawlPipeline.run(spark, storeDir, root)

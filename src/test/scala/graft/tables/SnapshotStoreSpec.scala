@@ -23,6 +23,31 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(read.columns.toSet == Set("id", "pk"))
   }
 
+  test("expire: unreferenced data files + dropped manifests deleted; kept " +
+      "versions stay readable (Iceberg expire_snapshots analogue)") {
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.append(spark, Seq((1L, "a")).toDF("id", "pk"), "pk") // v0
+    store.append(spark, Seq((2L, "b")).toDF("id", "pk"), "pk") // v1 (cumulative)
+    // keeping v1 keeps BOTH commits' files (snapshots list their full set)
+    store.expire(keepLast = 1)
+    assert(store.read(spark).get.count() == 2)
+    assert(!Files.exists(Paths.get(root, "snapshots", "v0.json")))
+    intercept[Exception](store.readAt(spark, 0L)) // expired version gone
+
+    // truncate (empty file list) then expire → all data files physically gone
+    store.truncate() // v2
+    store.expire(keepLast = 1)
+    val remaining = Files.walk(Paths.get(root, "data")).iterator()
+    val parquetLeft = new java.util.ArrayList[java.nio.file.Path]()
+    remaining.forEachRemaining(f => if (f.toString.endsWith(".parquet")) parquetLeft.add(f))
+    assert(parquetLeft.isEmpty, s"orphan data files survived expire: $parquetLeft")
+    assert(store.read(spark).isEmpty) // empty table, CURRENT still valid
+    // appends keep working after expiry
+    val snap = store.append(spark, Seq((9L, "z")).toDF("id", "pk"), "pk")
+    assert(store.read(spark).get.count() == 1 && snap.version == 3L)
+  }
+
   test("second append unions with first; lineage accumulates") {
     val root = tmp()
     val store = new SnapshotStore(root)
