@@ -128,6 +128,16 @@ object CrawlPipeline {
   def robotsAllowed(df: DataFrame): DataFrame =
     df.withColumn("robots_denied", pmod(col("id"), lit(103)) === 0)
 
+  /** R5 with REAL robots.txt documents: per-host policies (RFC 9309 parser,
+    * `model/Robots`) broadcast and evaluated against each URL's path.
+    * Empty map → the deterministic fixture above.
+    */
+  def robotsAllowed(df: DataFrame, robotsTxtByHost: Map[String, String]): DataFrame =
+    if (robotsTxtByHost.isEmpty) robotsAllowed(df)
+    else df.withColumn("robots_denied",
+      !graft.model.Robots.allowedCol(df.sparkSession, robotsTxtByHost,
+        col("hosting_id"), regexp_replace(col("url"), "^https?://[^/]+", "")))
+
   /** One-time ingest of the payload store into an id-bucketed table — the
     * shared storage layout that makes the payload join storage-partitioned.
     *

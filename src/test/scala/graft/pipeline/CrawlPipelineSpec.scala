@@ -256,6 +256,22 @@ class CrawlPipelineSpec extends SparkTestBase {
     meta.unpersist()
   }
 
+  test("R5 with real robots.txt: per-host RFC 9309 policies gate the frontier") {
+    val robots = Map(
+      // all thingiverse thing pages whose id starts with 1 are disallowed
+      "thingiverse.com" -> "User-agent: *\nDisallow: /thing:1\n",
+      "oshwa.org" -> "User-agent: okh-krawler\nDisallow: /\n")
+    val f = CrawlPipeline.robotsAllowed(
+      CrawlPipeline.frontier(spark, storeDir), robots)
+    val denied = f.filter(col("robots_denied"))
+      .select("unit_path").as[String].collect().toSet
+    val expectedTv = (1L to N).filter(id => (id % 5 == 0 || id % 5 == 4)
+      && id.toString.startsWith("1")).map(CrawlPipeline.expectedUnitPath).toSet
+    val expectedOshwa = (1L to N).filter(_ % 5 == 2)
+      .map(CrawlPipeline.expectedUnitPath).toSet
+    assert(denied == expectedTv ++ expectedOshwa, s"denied mismatch: $denied")
+  }
+
   test("S9 raw sink: meta-json + original payload bytes per ok unit (flag-gated)") {
     val root = freshRoot()
     val s = CrawlPipeline.run(spark, storeDir, root, rawSink = true)
