@@ -81,6 +81,16 @@ object FetchStage {
   final case class Politeness(minIntervalMs: Long, maxRetries: Int,
       budgetRequests: Int = 0, windowMs: Long = 0L)
 
+  /** Politeness budget honoring robots Crawl-delay per host: interval =
+    * max(platform interval, robots delay) (model/Robots.effectiveIntervalMs).
+    */
+  def politenessWithRobots(base: Map[String, Politeness],
+      robots: Map[String, graft.model.Robots.Policy]): Map[String, Politeness] =
+    base.map { case (host, p) =>
+      host -> p.copy(minIntervalMs = graft.model.Robots.effectiveIntervalMs(
+        p.minIntervalMs, robots.getOrElse(host, graft.model.Robots.Allowed)))
+    }
+
   def defaultPoliteness: Map[String, Politeness] = Map(
     "thingiverse.com" -> Politeness(1000L, 3),
     // GitHub: 30 requests per 60s window on top of the 5s secondary limit

@@ -228,13 +228,14 @@ object CrawlPipeline {
       rdfSink: Boolean = false, // S10: emit the 3-graph RDF projects table
       rawSink: Boolean = false, // S9: emit meta-json + original payload bytes
       revisit: Boolean = false, // re-crawl resolved units (change detection)
+      robotsTxt: Map[String, String] = Map.empty, // real per-host robots.txt
       crashBeforeSeenCommit: Boolean = false // test hook: injected crash
       ): RunSummary = {
     import spark.implicits._
 
     val seen = urlSeenStore(tableRoot)
     val bloomDir = s"$tableRoot/bloom"
-    val fullFrontier = robotsAllowed(frontier(spark, storeDir))
+    val fullFrontier = robotsAllowed(frontier(spark, storeDir), robotsTxt)
 
     // URL-seen anti-join with per-bucket Bloom pre-filter (no false
     // negatives by construction; exact anti-join on unit_path settles the

@@ -11,6 +11,17 @@ class FetchStageSpec extends SparkTestBase {
       i.toLong * 31, i % 4, content_hash = i.toLong * 7,
       robots_denied = false)).toDS()
 
+  test("robots Crawl-delay raises the per-host politeness interval") {
+    val base = Map("a.com" -> FetchStage.Politeness(1000L, 3),
+      "b.com" -> FetchStage.Politeness(8000L, 3))
+    val robots = Map(
+      "a.com" -> graft.model.Robots.parse("User-agent: *\nDisallow:\nCrawl-delay: 5\n"),
+      "b.com" -> graft.model.Robots.parse("User-agent: *\nCrawl-delay: 2\n"))
+    val merged = FetchStage.politenessWithRobots(base, robots)
+    assert(merged("a.com").minIntervalMs == 5000L) // robots wins
+    assert(merged("b.com").minIntervalMs == 8000L) // platform wins
+  }
+
   test("R1 window budget: exhausted budget sleeps to the window reset (ref rate_limit.py:15-34)") {
     // 100ms interval, 5 requests per 1000ms window → requests 6.. jump to
     // the next window even though the interval alone would allow them
