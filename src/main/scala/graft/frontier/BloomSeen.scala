@@ -218,8 +218,9 @@ object BloomSeen {
     val p = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(p).iterator().asScala.toVector
-        .foreach(java.nio.file.Files.delete)
+      val s = java.nio.file.Files.list(p) // closed below: streams hold an fd
+      val entries = try s.iterator().asScala.toVector finally s.close()
+      entries.foreach(java.nio.file.Files.delete)
     }
     updateBucketFilters(spark, allKeys, bucketCol, hashCol, dir, version,
       expectedItemsPerBucket, fpp)

@@ -51,6 +51,10 @@ object TextNormalize {
                   catch { case _: NumberFormatException => Long.MaxValue }
                 if (cp == 0L || cp > 0x10FFFFL || (cp >= 0xD800L && cp <= 0xDFFFL))
                   sb.append('�')
+                else if (cp >= 0x80L && cp <= 0x9FL)
+                  // C1 range maps through windows-1252 (html._invalid_charrefs:
+                  // '&#146;' is the cp1252 right single quote, not a control char)
+                  sb.append(new String(Array(cp.toByte), cp1252))
                 else sb.appendAll(Character.toChars(cp.toInt))
                 i = semi + 1
               }

@@ -89,7 +89,9 @@ object CrawlOps {
     val out = ranged
       .withColumn("__rn", row_number().over(w).cast("long"))
       .join(broadcast(offsetsDf), Seq("__pid"))
-      .withColumn(rankCol, (col("__off") + col("__rn")).cast("int"))
+      // rank stays LONG — an int rank would wrap past 2^31 rows, exactly
+      // the scale regime this distributed form exists for
+      .withColumn(rankCol, col("__off") + col("__rn"))
       .drop("__pid", "__rn", "__off")
     ranged.unpersist(blocking = false)
     out

@@ -117,15 +117,21 @@ object TextOps {
 
   /** Word 5-gram shingles, distinct per document. The inverted index that
     * drives both n-gram-Jaccard and MinHash candidate generation.
+    * `hashed=true` emits xxhash64 keys computed IN the shingle transform —
+    * strings never leave the scan task and every downstream shuffle moves
+    * 8-byte longs (one n-gram definition for both forms).
     */
-  def shingles(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame = {
+  def shingles(spark: SparkSession, sfDir: String, n: Int = 5,
+      hashed: Boolean = false): DataFrame = {
     val words = split(trim(lower(col("text"))), "\\s+")
+    val gram = s"concat_ws(' ', slice(words, i, $n))"
+    val element = if (hashed) s"xxhash64($gram)" else gram
     docs(spark, sfDir)
       .select(col("doc_id"), words.as("words"))
       .filter(size(col("words")) >= n)
       .select(col("doc_id"),
         explode(expr(
-          s"transform(sequence(1, size(words) - ${n - 1}), i -> concat_ws(' ', slice(words, i, $n)))"))
+          s"transform(sequence(1, size(words) - ${n - 1}), i -> $element)"))
           .as("shingle"))
       .distinct()
   }
@@ -149,18 +155,7 @@ object TextOps {
     // form shuffled ~30 bytes/shingle 3×; identical counts modulo 64-bit
     // collisions, whose any-collision probability at 10^7 distinct
     // shingles is ~5e-6)
-    val words = split(trim(lower(col("text"))), "\\s+")
-    val n = 5
-    val sh = docs(spark, sfDir)
-      .select(col("doc_id"), words.as("words"))
-      .filter(size(col("words")) >= n)
-      .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, size(words) - ${n - 1}), " +
-            s"i -> xxhash64(concat_ws(' ', slice(words, i, $n))))"))
-          .as("shingle"))
-      .distinct()
-      .cache()
+    val sh = shingles(spark, sfDir, hashed = true).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")

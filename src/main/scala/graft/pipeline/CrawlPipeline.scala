@@ -78,8 +78,10 @@ object CrawlPipeline {
     val m = pmod(id, lit(5L))
     when(m === 1, concat(lit("https://github.com/owner"), pmod(id, lit(7L)),
         lit("/repo"), id, lit("/blob/main/okh.toml")))
-      .when(m === 2, concat(lit("https://certification.oshwa.org/us"),
-        lpad(id.cast("string"), 6, "0"), lit(".html")))
+      // format_string pads WITHOUT truncating (lpad would silently truncate
+      // ids past 6 digits — exact parity with the f"us$id%06d" driver form)
+      .when(m === 2, concat(lit("https://certification.oshwa.org/"),
+        format_string("us%06d", id), lit(".html")))
       .when(m === 3, concat(lit("https://www.appropedia.org/Project_"), id))
       .otherwise(concat(lit("https://www.thingiverse.com/thing:"), id))
   }
@@ -246,18 +248,25 @@ object CrawlPipeline {
     // excluded from future slices once it has a permanent outcome or
     // MaxErrorRetries failed attempts. `revisit` ignores the exclusion and
     // re-crawls the whole frontier (visit counters + change detection).
-    val candidates = seen.read(spark) match {
+    val seenOpt = seen.read(spark)
+    // reconcile the filter files with the committed url_seen BEFORE this
+    // run uses or updates them — for EVERY run shape (a revisit run also
+    // stamps a new VERSION at commit, so skipping the reconcile here would
+    // permanently hide keys lost to a crash → Bloom false negatives)
+    seenOpt.foreach { seenDf =>
+      val curV = seen.currentVersion.get
+      if (!BloomSeen.filtersVersion(bloomDir).contains(curV)) {
+        // crash between url_seen commit and filter update (or first read
+        // of a pre-existing table): rebuild so filters can't be stale
+        BloomSeen.rebuildBucketFilters(spark,
+          seenDf.select(col("bucket"), col("url_hash")),
+          "bucket", "url_hash", bloomDir, curV)
+      }
+    }
+    val candidates = seenOpt match {
       case _ if revisit => fullFrontier
       case None => fullFrontier
       case Some(seenDf) =>
-        val curV = seen.currentVersion.get
-        if (!BloomSeen.filtersVersion(bloomDir).contains(curV)) {
-          // crash between url_seen commit and filter update (or first read
-          // of a pre-existing table): rebuild so filters can't be stale
-          BloomSeen.rebuildBucketFilters(spark,
-            seenDf.select(col("bucket"), col("url_hash")),
-            "bucket", "url_hash", bloomDir, curV)
-        }
         val resolved = seenDf.groupBy("unit_path").agg(
           max(when(col("status").isin("ok", "not_found", "robots_denied"), 1)
             .otherwise(0)).as("perm"),
@@ -279,9 +288,15 @@ object CrawlPipeline {
     }
 
     // robots-denied units flow THROUGH the fetch stage as pre-resolved
-    // status rows (no request, no politeness slot) — one pass, one log
+    // status rows (no request, no politeness slot) — one pass, one log.
+    // robots Crawl-delay raises the per-host interval to
+    // max(platform, robots) (model/Robots.effectiveIntervalMs).
+    val politeness =
+      if (robotsTxt.isEmpty) FetchStage.defaultPoliteness
+      else FetchStage.politenessWithRobots(FetchStage.defaultPoliteness,
+        robotsTxt.map { case (h, t) => h -> graft.model.Robots.parse(t) })
     val tasks = FetchStage.toTasks(spark, sliced)
-    val log = FetchStage.run(spark, tasks, salts = salts).cache()
+    val log = FetchStage.run(spark, tasks, politeness = politeness, salts = salts).cache()
 
     // normalize + invariants for fetched units: attach the store payload
     // (broadcast for bounded slices, storage-partitioned at limit=None —
@@ -405,14 +420,14 @@ object CrawlPipeline {
       resultRows = resultRows)
   }
 
-  /** Run to exhaustion (all frontier units either seen or error),
-    * `limit`-sized slices per run. Returns the per-run summaries.
-    */
   /** The CrawlingMeta view over this table root's url_seen event log. */
   def crawlingMeta(spark: SparkSession, tableRoot: String): Option[DataFrame] =
     urlSeenStore(tableRoot).read(spark)
       .map(graft.operators.CrawlOps.crawlingMeta)
 
+  /** Run to exhaustion (all frontier units either seen or error),
+    * `limit`-sized slices per run. Returns the per-run summaries.
+    */
   def runUntilDone(spark: SparkSession, storeDir: String, tableRoot: String,
       limit: Long): Seq[RunSummary] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[RunSummary]

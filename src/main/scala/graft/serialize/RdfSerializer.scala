@@ -228,13 +228,34 @@ object RdfSerializer {
 
   // ---- licenses (rdf_serializer.py:573-594) ----
 
-  /** SPDX-id shape check (model/licenses.py `is_spdx_id` analogue): ids are
-    * [A-Za-z0-9.+-]+ and not a LicenseRef.
+  /** SPDX-id check (model/licenses.py `is_spdx_id` analogue): exact
+    * membership in the shipped license dimension (the same asset
+    * `LicenseDim` loads — covers digit-less ids like Unlicense/WTFPL),
+    * falling back to the id-shaped-token heuristic for SPDX ids outside
+    * the curated subset.
     */
+  private lazy val knownSpdxIds: Set[String] = {
+    def idsOf(resource: String): Set[String] =
+      Option(getClass.getResourceAsStream(resource)).map { in =>
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        graft.tables.Json.parse(txt) match {
+          case o: graft.tables.Json.JObj =>
+            o.arr("licenses").collect {
+              case lic: graft.tables.Json.JObj => lic.str("licenseId")
+            }.toSet
+          case _ => Set.empty[String]
+        }
+      }.getOrElse(Set.empty)
+    idsOf("/graft/assets/spdx-licenses.json") ++
+      idsOf("/graft/assets/spdx-licenses-extra.json")
+  }
+
   def isSpdxId(id: String): Boolean =
-    id.nonEmpty && !id.startsWith("LicenseRef-") &&
-      id.forall(c => c.isLetterOrDigit || c == '.' || c == '-' || c == '+') &&
-      id.exists(_.isDigit) || Set("MIT", "ISC", "Zlib", "X11", "NTP").contains(id)
+    knownSpdxIds.contains(id) ||
+      (id.nonEmpty && !id.startsWith("LicenseRef-") &&
+        id.forall(c => c.isLetterOrDigit || c == '.' || c == '-' || c == '+') &&
+        id.exists(_.isDigit))
 
   private def addLicenseAndLicensor(g: TripleGraph, storeAgents: Boolean,
       subj: String, licenseSpdx: Option[String], licensors: Seq[AgentRow],
@@ -499,6 +520,10 @@ object RdfSerializer {
     project.tsdc.filter(_.nonEmpty).foreach(t =>
       addRes(g, subj, "okh:tsdc", iri(s"$TSDC$t")))
     project.publication.zipWithIndex.foreach { case (p, i) =>
+      // NOTE parity quirk: the reference links hasPublication even when the
+      // entry is neither DOI nor URL (the node stays property-less) —
+      // rdf_serializer.py:659-661 adds the link unconditionally after
+      // _create_publication warned and returned the bare subject
       addRes(g, subj, "okh:hasPublication", createPublication(g, s"publication$i", p))
     }
     project.standard_compliance.zipWithIndex.foreach { case (st, i) =>

@@ -148,8 +148,8 @@ final class SnapshotStore(val root: String) {
       // (local fs, ~1 ms/file, read in parallel) — no Spark job, no
       // recompute of the input plan
       val newFiles = timed("footer counts") {
-        val files = Files.walk(p(commitRel)).iterator().asScala
-          .filter(f => f.toString.endsWith(".parquet")).toVector
+        val files = SnapshotStore.withWalk(p(commitRel))(
+          _.filter(f => f.toString.endsWith(".parquet")).toVector)
         import scala.collection.parallel.CollectionConverters._
         files.par.map { f =>
           val rel = p("").toAbsolutePath.relativize(f.toAbsolutePath).toString
@@ -210,17 +210,17 @@ final class SnapshotStore(val root: String) {
         .flatMap(v => readSnapshot(v).files.map(_.path)).toSet
       val dataDir = p("data")
       if (Files.exists(dataDir)) {
-        val all = Files.walk(dataDir).iterator().asScala
-          .filter(f => f.toString.endsWith(".parquet")).toVector
+        val all = SnapshotStore.withWalk(dataDir)(
+          _.filter(f => f.toString.endsWith(".parquet")).toVector)
         all.foreach { f =>
           val rel = p("").toAbsolutePath.relativize(f.toAbsolutePath).toString
           if (!kept.contains(rel)) Files.delete(f)
         }
         // prune directories emptied by the deletes (deepest first)
-        Files.walk(dataDir).iterator().asScala.toVector
-          .filter(Files.isDirectory(_)).sortBy(-_.getNameCount)
+        SnapshotStore.withWalk(dataDir)(
+          _.filter(Files.isDirectory(_)).toVector).sortBy(-_.getNameCount)
           .foreach { d =>
-            if (d != dataDir && !Files.list(d).iterator().hasNext) Files.delete(d)
+            if (d != dataDir && SnapshotStore.isEmptyDir(d)) Files.delete(d)
           }
       }
       (0L until keepFrom).foreach { v =>
@@ -242,5 +242,18 @@ final class SnapshotStore(val root: String) {
     Files.writeString(tmp, content)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+object SnapshotStore {
+  /** Loan-pattern walk: NIO directory streams hold an fd until closed. */
+  private[tables] def withWalk[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.walk(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
+  private[tables] def isEmptyDir(d: Path): Boolean = {
+    val s = Files.list(d)
+    try !s.iterator().hasNext finally s.close()
   }
 }

@@ -135,8 +135,10 @@ class PlanSpec extends SparkTestBase {
   test("frontier stage: fully codegen'd, no Scala UDFs on the hot path (VERDICT r1 #9)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // seedUrlCol must agree with the driver-side pure function for every id
-    val ids = spark.range(1, 2001).toDF("id")
+    // seedUrlCol must agree with the driver-side pure function for every id,
+    // INCLUDING ids past 6 digits (lpad would truncate; format_string pads)
+    val ids = spark.range(1, 2001).union(spark.range(999_995, 1_000_025))
+      .toDF("id")
     val mismatches = ids
       .withColumn("url", graft.pipeline.CrawlPipeline.seedUrlCol(col("id")))
       .as[(Long, String)].collect()

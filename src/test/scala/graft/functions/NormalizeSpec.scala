@@ -37,6 +37,10 @@ class NormalizeSpec extends AnyFunSuite {
     // supplementary plane survives as a surrogate PAIR, not a truncated char
     assert(TextNormalize.stripHtml("&#128512;") == "😀")
     assert(TextNormalize.stripHtml("&#x1F600;") == "😀")
+    // C1 range maps through windows-1252 (html._invalid_charrefs)
+    assert(TextNormalize.stripHtml("it&#146;s") == "it’s") // ’ not U+0092
+    assert(TextNormalize.stripHtml("&#128;") == "€") // €
+    assert(TextNormalize.stripHtml("&#x93;quoted&#x94;") == "“quoted”")
   }
 
   test("fix_encoding: cp1252-mojibake em dash repaired (ref util.py:71-72)") {

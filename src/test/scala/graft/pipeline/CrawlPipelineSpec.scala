@@ -256,6 +256,25 @@ class CrawlPipelineSpec extends SparkTestBase {
     meta.unpersist()
   }
 
+  test("crash before the Bloom VERSION stamp + revisit run: filters are " +
+      "rebuilt, no false negatives, no duplicate results") {
+    val root = freshRoot()
+    CrawlPipeline.run(spark, storeDir, root)
+    // simulate a crash between the url_seen commit and the filter stamp
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$root/bloom/VERSION"))
+    // a LIMITED revisit run must reconcile the filters before stamping a
+    // fresh VERSION (previously it skipped the rebuild and stamped anyway,
+    // hiding the stale state → Bloom false negatives on later runs)
+    CrawlPipeline.run(spark, storeDir, root, limit = Some(50L), revisit = true)
+    val s3 = CrawlPipeline.run(spark, storeDir, root) // normal resume
+    assert(s3.ok == 0, s"stale Bloom caused re-fetches: $s3")
+    val ids = CrawlPipeline.resultsStore(root).read(spark).get
+      .select("image_id").as[String].collect()
+    // every unit at most run-1 + the revisit slice — never a third fetch
+    val counts = ids.groupBy(identity).view.mapValues(_.size)
+    assert(counts.values.forall(_ <= 2), "a unit was fetched three times")
+  }
+
   test("R5 with real robots.txt: per-host RFC 9309 policies gate the frontier") {
     val robots = Map(
       // all thingiverse thing pages whose id starts with 1 are disallowed

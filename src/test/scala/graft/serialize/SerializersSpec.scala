@@ -226,6 +226,21 @@ class SerializersSpec extends SparkTestBase {
     assert(dHas(":project", "ods:hasSource", ":projectDataSetSource"))
   }
 
+  test("isSpdxId: digit-less ids from the shipped dimension are resources, " +
+      "names/expressions stay literals") {
+    assert(RdfSerializer.isSpdxId("Unlicense"))
+    assert(RdfSerializer.isSpdxId("WTFPL"))
+    assert(RdfSerializer.isSpdxId("MIT"))
+    assert(RdfSerializer.isSpdxId("GPL-3.0-or-later"))
+    assert(!RdfSerializer.isSpdxId("MIT License")) // name, not id
+    assert(!RdfSerializer.isSpdxId("LicenseRef-Custom"))
+    val p = graft.model.ProjectModel.minimal("x", "X", "https://e.org/x")
+      .copy(license_spdx = Some("Unlicense"))
+    val g = RdfSerializer.makeGraphs(p, graft.model.CrawlMeta.initial("github.com", "api"))
+    assert(g.data.triples.contains(
+      RdfSerializer.Triple(":project", "ods:license", "spdxl:Unlicense")))
+  }
+
   test("C24 three-graph turtle: deterministic, prefix-correct, golden-pinned") {
     val minimal = ProjectModel.minimal(
       "thingiverse.com/0/77", "Tri Thing", "https://www.thingiverse.com/thing:77")
