@@ -32,6 +32,22 @@ object SparkEntry {
     "q_politeness_schedule" -> ((s, d) => CrawlOps.politenessSchedule(s, d)
       .withColumn("pos", org.apache.spark.sql.functions.col("pos").cast("long"))),
     "q_url_seen_anti" -> ((s, d) => CrawlOps.urlSeenAnti(s, d)),
+    // the ACTUAL politeness fetch stage (virtual clock, retries counted
+    // against the budget) on a single-host frontier, oracle-checked against
+    // the closed-form cumulative-sum schedule (R2/R3/S8)
+    "q_fetch_schedule" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val tasks = s.read.parquet(s"$d/part.parquet").select(col("p_partkey"))
+        .as[Long].map(id => graft.fetch.FetchTask(
+          s"thingiverse.com/${id / 10000}/$id", "thingiverse.com", id,
+          priority = 1, seq = id, url_hash = 0L, bucket = 0L,
+          content_hash = 0L, robots_denied = false))
+      graft.fetch.FetchStage.run(s, tasks)
+        .select(col("unit_path"), col("pos"),
+          col("retries").cast("long").as("retries"), col("status"),
+          col("scheduled_ms"), col("completed_ms"))
+    }),
     "q_robots_gate" -> ((s, d) => CrawlOps.robotsGate(s, d)),
     "q_manifest_filter" -> ((s, d) => CrawlOps.manifestFilter(s, d)),
     "q_license_join" -> ((s, d) => CrawlOps.licenseJoin(s, d)),
@@ -334,6 +350,29 @@ object SparkEntry {
          |  FROM part WHERE p_partkey % 7 = 0)
          |SELECT d.unit_path, d.hosting_id, d.first_seq FROM deduped d
          |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.unit_path = d.unit_path)""".stripMargin,
+    "q_fetch_schedule" ->
+      """WITH t AS (SELECT p_partkey AS id FROM part),
+        |o AS (
+        |  SELECT id,
+        |    CASE WHEN id % 101 = 0 THEN 'not_found'
+        |         WHEN id % 97 = 0 THEN 'ok'
+        |         WHEN id % 997 = 0 THEN 'error'
+        |         ELSE 'ok' END AS status,
+        |    CASE WHEN id % 101 = 0 THEN 0
+        |         WHEN id % 97 = 0 THEN 2
+        |         WHEN id % 997 = 0 THEN 3
+        |         ELSE 0 END AS attempts
+        |  FROM t),
+        |w AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS pos,
+        |    CAST(sum((attempts + 1) * 1000) OVER (ORDER BY id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS completed
+        |  FROM o)
+        |SELECT 'thingiverse.com/' || CAST(id // 10000 AS VARCHAR) || '/' || id AS unit_path,
+        |  pos, CAST(attempts AS BIGINT) AS retries, status,
+        |  completed - (attempts + 1) * 1000 AS scheduled_ms,
+        |  completed AS completed_ms
+        |FROM w""".stripMargin,
     "q_robots_gate" ->
       s"""WITH $C,
          |deduped AS (
