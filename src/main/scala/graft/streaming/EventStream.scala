@@ -52,6 +52,33 @@ object EventStream {
       }
   }
 
+  /** Incremental frontier ingestion: streaming discovery → stateful
+    * URL-seen dedup → snapshot-store commits per micro-batch (foreachBatch
+    * = the streaming twin of `CrawlPipeline.run`'s slice loop; the store's
+    * versioned manifests make each micro-batch a resumable commit with
+    * lineage, exactly like batch slices).
+    */
+  def incrementalFrontierSink(deduped: Dataset[FrontierUrl],
+      store: graft.tables.SnapshotStore, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    deduped.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[FrontierUrl], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val rows = batch.toDF()
+            .withColumn("hosting_id", substring_index(col("unit_path"), "/", 1))
+            .withColumn("url_hash", xxhash64(col("unit_path")))
+            .withColumn("bucket", pmod(col("url_hash"), lit(32L)))
+          store.append(batch.sparkSession, rows, "bucket",
+            Map("batch_id" -> batchId), clusterBeforeWrite = true)
+        }
+        ()
+      }
+      .start()
+  }
+
   // ---- stateful politeness pacing ----
 
   final case class FetchRequest(host: String, unit_path: String, ts: Timestamp)

@@ -83,6 +83,36 @@ class EventStreamSpec extends SparkTestBase {
     assert(bySeq("oshwa.org/us000001") == 8L)
   }
 
+  test("incremental frontier → snapshot store: micro-batches commit as " +
+      "versioned slices, dedup holds across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.FrontierUrl]
+    val store = new graft.tables.SnapshotStore(
+      Files.createTempDirectory("graft-inc-store").toString)
+    val q = EventStream.incrementalFrontierSink(
+      EventStream.streamingUrlSeen(input.toDS()), store,
+      Files.createTempDirectory("graft-ckpt4").toString)
+    input.addData(
+      EventStream.FrontierUrl("thingiverse.com/0/1", "https://t/thing:1", 1L),
+      EventStream.FrontierUrl("github.com/a/b", "https://g/a/b", 2L))
+    q.processAllAvailable()
+    val v1 = store.currentVersion.get
+    input.addData(
+      EventStream.FrontierUrl("thingiverse.com/0/1", "https://t/thing:1?again", 9L),
+      EventStream.FrontierUrl("oshwa.org/us000002", "https://o/us000002", 3L))
+    q.processAllAvailable()
+    q.stop()
+    // two non-empty micro-batches → two commits; versions advanced
+    assert(store.currentVersion.get > v1)
+    val rows = store.read(spark).get
+      .select("unit_path").as[String].collect().toSeq
+    // the re-discovered unit did not re-commit
+    assert(rows.sorted == Seq("github.com/a/b", "oshwa.org/us000002",
+      "thingiverse.com/0/1"))
+    // per-partition lineage accumulated across the streaming commits
+    assert(store.currentSnapshot.get.lineage.values.sum == 3L)
+  }
+
   test("politeness pacer as a streaming query (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.FetchRequest]
