@@ -48,8 +48,10 @@ object Bench {
     "q1_pricing", "q3_shipping", "q5_region", "q6_forecast", "q12_shipmode",
     "q14_promo", "q_event_windows", "q_sessionize",
     "q_frontier_dedup", "q_crawl_order", "q_politeness_schedule",
+    "q_fetch_schedule", "q_crawl_meta",
+    "q_normalize_manifest", "q_license_resolve", "q_rdf_triples",
     "q_dedup_exact", "q_fingerprint", "q_quality", "q_lang_id",
-    "q_ngram_jaccard", "q_minhash_lsh", "q_simhash_pairs",
+    "q_ngram_jaccard", "q_minhash_lsh", "q_simhash_pairs", "q_embed_neardup",
     // headline ANN number is the scale path (hyperplane LSH); the O(Q×N)
     // brute-force twin stays in the suite as the RECALL ORACLE only — it is
     // correct by design but must never be read as the production ANN cost

@@ -177,22 +177,56 @@ object ProjectModel {
 
   // ---- Row → model (tolerates any column subset; missing = empty) ----
 
-  private def hasField(r: Row, n: String): Boolean =
-    r.schema != null && r.schema.fieldNames.contains(n) && !r.isNullAt(r.fieldIndex(n))
+  // field lookups go through a per-thread memo keyed on the schema INSTANCE
+  // (rows in a partition share it) — `fieldNames.contains` would allocate
+  // and linearly scan a fresh array per field per ROW, dominating fromRow
+  // cost at serializer throughput
+  private val lastSchemaIdx =
+    new ThreadLocal[(org.apache.spark.sql.types.StructType, Map[String, Int])]()
 
-  private def optStr(r: Row, n: String): Option[String] =
-    if (hasField(r, n)) Option(r.getAs[String](n)) else None
+  private def idxOf(r: Row, n: String): Int = {
+    val s = r.schema
+    if (s == null) return -1
+    val cached = lastSchemaIdx.get()
+    val m =
+      if (cached != null && (cached._1 eq s)) cached._2
+      else {
+        val nm = s.fieldNames.zipWithIndex.toMap
+        lastSchemaIdx.set((s, nm))
+        nm
+      }
+    m.getOrElse(n, -1)
+  }
 
-  private def optDouble(r: Row, n: String): Option[Double] =
-    if (hasField(r, n)) Some(r.getAs[Number](n).doubleValue()) else None
+  private def hasField(r: Row, n: String): Boolean = {
+    val i = idxOf(r, n)
+    i >= 0 && !r.isNullAt(i)
+  }
 
-  private def strSeq(r: Row, n: String): Seq[String] =
-    if (hasField(r, n)) r.getAs[scala.collection.Seq[String]](n).toSeq.filter(_ != null)
+  private def optStr(r: Row, n: String): Option[String] = {
+    val i = idxOf(r, n)
+    if (i >= 0 && !r.isNullAt(i)) Option(r.getString(i)) else None
+  }
+
+  private def optDouble(r: Row, n: String): Option[Double] = {
+    val i = idxOf(r, n)
+    if (i >= 0 && !r.isNullAt(i)) Some(r.get(i).asInstanceOf[Number].doubleValue())
+    else None
+  }
+
+  private def strSeq(r: Row, n: String): Seq[String] = {
+    val i = idxOf(r, n)
+    if (i >= 0 && !r.isNullAt(i))
+      r.getSeq[String](i).filter(_ != null)
     else Seq.empty
+  }
 
-  private def rowSeq(r: Row, n: String): Seq[Row] =
-    if (hasField(r, n)) r.getAs[scala.collection.Seq[Row]](n).toSeq.filter(_ != null)
+  private def rowSeq(r: Row, n: String): Seq[Row] = {
+    val i = idxOf(r, n)
+    if (i >= 0 && !r.isNullAt(i))
+      r.getSeq[Row](i).filter(_ != null)
     else Seq.empty
+  }
 
   private def fileOf(f: Row): FileRef = FileRef(
     optStr(f, "name"), optStr(f, "path"), optStr(f, "url"),

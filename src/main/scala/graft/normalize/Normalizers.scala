@@ -334,6 +334,7 @@ object Normalizers {
     // software entries (manifest.py:503-517, software.py:14-23)
     StructField("software", ArrayType(StructType(Seq(
       StructField("release", StringType),
+      StructField("installation-guide", StringType),
       StructField("documentation-language", ArrayType(StringType)),
       StructField("license", StringType),
       StructField("licensor", StringType)))))))
@@ -459,6 +460,7 @@ object Normalizers {
           dims.getField("depth").as("depth"))).as("outer_dimensions"),
       col("m.`documentation-language`").as("documentation_language"),
       // file singletons (manifest.py:223,235-237; str = path or URL)
+      fileFromString(col("m.`contribution-guide`")).as("contribution_guide"),
       fileArrayFromString(col("m.readme")).as("readme"),
       fileArrayFromString(col("m.bom")).as("bom"),
       fileArrayFromString(col("m.`user-manual`")).as("user_manual"),
@@ -485,8 +487,11 @@ object Normalizers {
         |  p.tsdc as tsdc))""".stripMargin).as("part"),
       // software entries (manifest.py:503-517): license string is already an
       // SPDX id in OKH manifests; licensor string → one Person agent
-      expr("""transform(coalesce(m.software, array()), s -> struct(
+      expr(s"""transform(coalesce(m.software, array()), s -> struct(
         |  s.release as release,
+        |  case when s.`installation-guide` is not null
+        |       then ${fileStructSql("s.`installation-guide`")}
+        |       else cast(null as $fileType) end as installation_guide,
         |  coalesce(s.`documentation-language`, array()) as documentation_language,
         |  s.license as license_spdx,
         |  case when s.licensor is not null
