@@ -267,18 +267,27 @@ object CrawlPipeline {
       case _ if revisit => fullFrontier
       case None => fullFrontier
       case Some(seenDf) =>
-        val resolved = seenDf.groupBy("unit_path").agg(
-          max(when(col("status").isin("ok", "not_found", "robots_denied"), 1)
-            .otherwise(0)).as("perm"),
-          sum(when(col("status") === "error", 1L).otherwise(0L)).as("n_err"))
-          .filter(col("perm") === 1 || col("n_err") >= MaxErrorRetries)
-          .select("unit_path")
         val routed = fullFrontier.repartition(NBuckets, col("bucket"))
         val might = BloomSeen.fileBucketPredicate(bloomDir)
         val maybeSeen = routed.filter(might)
-          .join(resolved, Seq("unit_path"), "left_anti")
+        // the resolved-set aggregation runs over ONLY the Bloom-positive
+        // candidates' events (semi-join first): without it, every run would
+        // aggregate the FULL event log even when the candidate set is tiny.
+        // (At sustained 10^10 scale the maintenance path is periodic
+        // compaction of events into a resolved summary table — the
+        // semi-join keeps the per-run cost proportional to candidates
+        // until then.)
+        val resolved = seenDf
+          .join(maybeSeen.select("unit_path").distinct(), Seq("unit_path"), "left_semi")
+          .groupBy("unit_path").agg(
+            max(when(col("status").isin("ok", "not_found", "robots_denied"), 1)
+              .otherwise(0)).as("perm"),
+            sum(when(col("status") === "error", 1L).otherwise(0L)).as("n_err"))
+          .filter(col("perm") === 1 || col("n_err") >= MaxErrorRetries)
+          .select("unit_path")
         val definitelyNew = routed.filter(!might)
-        definitelyNew.unionByName(maybeSeen)
+        definitelyNew.unionByName(
+          maybeSeen.join(resolved, Seq("unit_path"), "left_anti"))
     }
 
     // fixture-scale run slice of the golden order (kill/resume simulation)
