@@ -34,7 +34,8 @@ object Normalizers {
     s"image:array<$fileType>,source:array<$fileType>,export:array<$fileType>," +
     s"auxiliary:array<$fileType>,material:string,mass:double," +
     s"outer_dimensions:$dimsType,tsdc:string>"
-  val softwareType = s"struct<release:string,documentation_language:array<string>," +
+  val softwareType = s"struct<release:string,installation_guide:$fileType," +
+    s"documentation_language:array<string>," +
     s"license_spdx:string,licensor:array<$agentType>>"
 
   private def emptyFiles = array().cast(s"array<$fileType>")
@@ -166,6 +167,21 @@ object Normalizers {
         expr("transform(src_raw, x -> struct(x.name as name, x.url as url))").as("source"),
         expr("transform(exp_raw, x -> struct(x.name as name, x.url as url))").as("export"))
 
+    // platform outputs share ONE schema (unionByName-compatible across
+    // normalizers): URL-only platform entries widen to the full file/image
+    // struct types
+    def asFiles(c: Column): Column = transform(c, f => struct(
+      f.getField("name").as("name"),
+      lit(null).cast("string").as("path"),
+      f.getField("url").as("url")))
+    def asImages(c: Column): Column = transform(c, f => struct(
+      f.getField("name").as("name"),
+      lit(null).cast("string").as("path"),
+      f.getField("url").as("url"),
+      array().cast("array<string>").as("slots"),
+      array().cast("array<string>").as("tags"),
+      array().cast("array<string>").as("depicts")))
+
     hits
       .join(broadcast(licenseDim(spark)), col("license") === col("tv_license"), "left_outer")
       .join(images, Seq("project_id"), "left_outer")
@@ -186,9 +202,12 @@ object Normalizers {
         lit("OTRL-4").as("trl"), // thingiverse.py:80
         lit("ODRL-3").as("drl"), // thingiverse.py:81
         lit(null).cast("string").as("cpc_patent_class"),
-        coalesce(col("image"), array().cast("array<struct<name:string,url:string>>")).as("image"),
-        coalesce(col("source"), array().cast("array<struct<name:string,url:string>>")).as("source"),
-        coalesce(col("export"), array().cast("array<struct<name:string,url:string>>")).as("export"))
+        asImages(coalesce(col("image"),
+          array().cast("array<struct<name:string,url:string>>"))).as("image"),
+        asFiles(coalesce(col("source"),
+          array().cast("array<struct<name:string,url:string>>"))).as("source"),
+        asFiles(coalesce(col("export"),
+          array().cast("array<struct<name:string,url:string>>"))).as("export"))
         ++ wideTail(col("description")): _*)
   }
 
@@ -273,9 +292,9 @@ object Normalizers {
       lit(null).cast("string").as("trl"),
       lit("ODRL-3*").as("drl"), // oshwa.py:90
       col("cpc_patent_class"),
-      array().cast("array<struct<name:string,url:string>>").as("image"),
-      array().cast("array<struct<name:string,url:string>>").as("source"),
-      array().cast("array<struct<name:string,url:string>>").as("export"))
+      array().cast(s"array<$imageType>").as("image"),
+      emptyFiles.as("source"),
+      emptyFiles.as("export"))
       ++ wideTail(col("projectDescription")): _*)
   }
 
@@ -442,11 +461,19 @@ object Normalizers {
       // JSON array zip_with'd: a dict element resolves through the struct
       // parse, a string element through the string parse.
       imageColumn.as("image"),
-      expr("transform(coalesce(m.part, array()), p -> struct(p.name as name, p.source as url))")
-        .as("source"),
+      // project-level source/export roll up from the parts with the shared
+      // file struct (relative strings → path, http(s) → url)
+      expr("""transform(coalesce(m.part, array()), p -> struct(p.name as name,
+        |  case when p.source like 'http%' then cast(null as string)
+        |       else p.source end as path,
+        |  case when p.source like 'http%' then p.source
+        |       else cast(null as string) end as url))""".stripMargin).as("source"),
       expr("""flatten(transform(coalesce(m.part, array()),
-               p -> transform(coalesce(p.export, array()),
-                 e -> struct(p.name as name, e as url))))""").as("export"),
+        |  p -> transform(coalesce(p.export, array()), e -> struct(
+        |    p.name as name,
+        |    case when e like 'http%' then cast(null as string) else e end as path,
+        |    case when e like 'http%' then e else cast(null as string) end as url))))"""
+        .stripMargin).as("export"),
       col("m.okhv").as("okhv"),
       col("m.mass").as("mass"),
       // new-form dims win; legacy OpenSCAD form converted (C11)

@@ -142,11 +142,16 @@ class NormalizersSpec extends SparkTestBase {
     assert(od.getDouble(0) == 4000.0 && od.getDouble(1) == 3500.0 && od.getDouble(2) == 1500.0)
   }
 
-  test("manifest: parts → source + flattened exports") {
-    val src = man.select(expr("transform(source, s -> s.url)")).as[Seq[String]].collect()(0)
-    val exp = man.select(expr("transform(export, e -> e.url)")).as[Seq[String]].collect()(0)
+  test("manifest: parts → source + flattened exports (relative → path)") {
+    val src = man.select(expr("transform(source, s -> coalesce(s.url, s.path))"))
+      .as[Seq[String]].collect()(0)
+    val exp = man.select(expr("transform(export, e -> coalesce(e.url, e.path))"))
+      .as[Seq[String]].collect()(0)
     assert(src == Seq("cad/frame.scad"))
     assert(exp == Seq("cad/frame.stl", "cad/frame.3mf"))
+    // relative strings are PATHS, not URLs (reference files_info.file)
+    assert(man.select(expr("transform(source, s -> s.url)"))
+      .as[Seq[String]].collect()(0) == Seq(null))
   }
 
   test("manifest: appropedia v1 comma-list licensor hack (ref manifest.py:344-358)") {
@@ -256,6 +261,38 @@ class NormalizersSpec extends SparkTestBase {
     assert(docs.data_okh_ttl.contains("okh:hasComponent :part0"))
     assert(docs.data_okh_ttl.contains("okh:organization :organization0"))
     assert(docs.meta_ttl.contains("okhkrawl:dataSourcingProcedureManifest"))
+  }
+
+  test("all three platform normalizers emit ONE schema (unionByName-compatible)") {
+    val tv = Normalizers.thingiverse(spark, Seq(
+      """{"id": 7, "name": "T", "public_url": "https://www.thingiverse.com/thing:7",
+        |"license": "GNU - GPL", "description": "d"}""".stripMargin.replace("\n", " "))
+      .toDF("json"))
+    val osh = Normalizers.oshwa(spark, Seq(
+      """{"oshwaUid": "US0001", "projectName": "O", "projectVersion": "1",
+        |"projectDescription": "d", "hardwareLicense": "CERN"}"""
+        .stripMargin.replace("\n", " ")).toDF("json"))
+    val man = Normalizers.manifest(spark, Seq(("toml",
+      graft.fixtures.SyntheticManifests.toml(14L))).toDF("fmt", "content"))
+    def schemaOf(df: org.apache.spark.sql.DataFrame) =
+      // nullability may differ (literal empty arrays are NOT NULL) —
+      // unionByName widens it; compare the structural type only
+      df.schema.fields.map(f => f.name -> f.dataType.sql.replace(" NOT NULL", "")).toMap
+    val (st, so, sm) = (schemaOf(tv), schemaOf(osh), schemaOf(man))
+    val shared = st.keySet intersect so.keySet intersect sm.keySet
+    // every column that appears on all three platforms has ONE type
+    shared.foreach { c =>
+      assert(st(c) == so(c) && st(c) == sm(c),
+        s"type drift on '$c': tv=${st(c)} oshwa=${so(c)} manifest=${sm(c)}")
+    }
+    // the core Project columns are present everywhere
+    Seq("project_id", "name", "repo", "version", "license_spdx", "licensor",
+      "organization", "image", "source", "export", "readme", "bom", "part",
+      "software", "okhv", "documentation_language", "mass", "outer_dimensions")
+      .foreach(c => assert(shared.contains(c), s"column '$c' missing on a platform"))
+    // and the union actually executes
+    assert(tv.unionByName(osh, allowMissingColumns = true)
+      .unionByName(man, allowMissingColumns = true).count() == 3)
   }
 
   test("manifest: YAML form parses too (C15)") {
