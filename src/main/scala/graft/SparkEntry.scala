@@ -345,7 +345,7 @@ object SparkEntry {
          |  SELECT CASE p_partkey % 3
          |      WHEN 0 THEN 'thingiverse.com/' || CAST(p_partkey // 10000 AS VARCHAR) || '/' || p_partkey
          |      WHEN 1 THEN 'github.com/owner' || (p_partkey % 10) || '/repo' || p_partkey || '/main/okh.toml'
-         |      ELSE 'oshwa.org/us' || lpad(CAST(p_partkey AS VARCHAR), 6, '0')
+         |      ELSE 'oshwa.org/' || printf('us%06d', p_partkey)
          |    END AS unit_path
          |  FROM part WHERE p_partkey % 7 = 0)
          |SELECT d.unit_path, d.hosting_id, d.first_seq FROM deduped d

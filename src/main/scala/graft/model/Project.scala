@@ -177,24 +177,27 @@ object ProjectModel {
 
   // ---- Row → model (tolerates any column subset; missing = empty) ----
 
-  // field lookups go through a per-thread memo keyed on the schema INSTANCE
-  // (rows in a partition share it) — `fieldNames.contains` would allocate
+  // field lookups go through a per-thread identity-keyed memo (rows in a
+  // partition share schema INSTANCES, and a project row alternates between
+  // its outer schema and the nested agent/file/part/software schemas, so a
+  // single-slot cache would thrash) — `fieldNames.contains` would allocate
   // and linearly scan a fresh array per field per ROW, dominating fromRow
   // cost at serializer throughput
-  private val lastSchemaIdx =
-    new ThreadLocal[(org.apache.spark.sql.types.StructType, Map[String, Int])]()
+  private val schemaIdx = new ThreadLocal[
+      java.util.IdentityHashMap[org.apache.spark.sql.types.StructType, Map[String, Int]]] {
+    override def initialValue() = new java.util.IdentityHashMap()
+  }
 
   private def idxOf(r: Row, n: String): Int = {
     val s = r.schema
     if (s == null) return -1
-    val cached = lastSchemaIdx.get()
-    val m =
-      if (cached != null && (cached._1 eq s)) cached._2
-      else {
-        val nm = s.fieldNames.zipWithIndex.toMap
-        lastSchemaIdx.set((s, nm))
-        nm
-      }
+    val cache = schemaIdx.get()
+    var m = cache.get(s)
+    if (m == null) {
+      if (cache.size > 64) cache.clear() // bound growth across schemas
+      m = s.fieldNames.zipWithIndex.toMap
+      cache.put(s, m)
+    }
     m.getOrElse(n, -1)
   }
 

@@ -154,7 +154,7 @@ object CrawlOps {
           .when(pmod(col("k"), lit(3)) === 1,
             concat(lit("github.com/owner"), pmod(col("k"), lit(10)).cast("string"),
               lit("/repo"), col("k").cast("string"), lit("/main/okh.toml")))
-          .otherwise(concat(lit("oshwa.org/us"), lpad(col("k").cast("string"), 6, "0"))))
+          .otherwise(concat(lit("oshwa.org/"), format_string("us%06d", col("k")))))
       .select("unit_path")
     frontierDedup(spark, sfDir)
       .join(seen, Seq("unit_path"), "left_anti")

@@ -29,7 +29,8 @@ object Seeds {
           concat(lit("https://github.com/owner"), pmod(col("k"), lit(10)).cast("string"),
             lit("/repo"), kStr, lit("/blob/main/okh.toml")))
         .otherwise(
-          concat(lit("https://certification.oshwa.org/us"), lpad(kStr, 6, "0"), lit(".html")))
+          concat(lit("https://certification.oshwa.org/"),
+            format_string("us%06d", col("k")), lit(".html")))
         .as("url"),
       (col("k") * 2).as("seq"))
     val alias = part.select(
@@ -39,7 +40,8 @@ object Seeds {
           concat(lit("https://raw.githubusercontent.com/owner"), pmod(col("k"), lit(10)).cast("string"),
             lit("/repo"), kStr, lit("/main/okh.toml")))
         .otherwise(
-          concat(lit("https://certification.oshwa.org/us"), lpad(kStr, 6, "0"), lit(".html")))
+          concat(lit("https://certification.oshwa.org/"),
+            format_string("us%06d", col("k")), lit(".html")))
         .as("url"),
       (col("k") * 2 + 1).as("seq"))
     primary.unionByName(alias)
@@ -51,7 +53,7 @@ object Seeds {
       |  SELECT CASE p_partkey % 3
       |      WHEN 0 THEN 'https://www.thingiverse.com/thing:' || p_partkey
       |      WHEN 1 THEN 'https://github.com/owner' || (p_partkey % 10) || '/repo' || p_partkey || '/blob/main/okh.toml'
-      |      ELSE 'https://certification.oshwa.org/us' || lpad(CAST(p_partkey AS VARCHAR), 6, '0') || '.html'
+      |      ELSE 'https://certification.oshwa.org/' || printf('us%06d', p_partkey) || '.html'
       |    END AS url,
       |    p_partkey * 2 AS seq
       |  FROM part
@@ -59,7 +61,7 @@ object Seeds {
       |  SELECT CASE p_partkey % 3
       |      WHEN 0 THEN 'https://www.thingiverse.com/thing:' || p_partkey
       |      WHEN 1 THEN 'https://raw.githubusercontent.com/owner' || (p_partkey % 10) || '/repo' || p_partkey || '/main/okh.toml'
-      |      ELSE 'https://certification.oshwa.org/us' || lpad(CAST(p_partkey AS VARCHAR), 6, '0') || '.html'
+      |      ELSE 'https://certification.oshwa.org/' || printf('us%06d', p_partkey) || '.html'
       |    END AS url,
       |    p_partkey * 2 + 1 AS seq
       |  FROM part
@@ -76,7 +78,7 @@ object Seeds {
       |    CASE p_partkey % 3
       |      WHEN 0 THEN 'thingiverse.com/' || CAST(p_partkey // 10000 AS VARCHAR) || '/' || p_partkey
       |      WHEN 1 THEN 'github.com/owner' || (p_partkey % 10) || '/repo' || p_partkey || '/main/okh.toml'
-      |      ELSE 'oshwa.org/us' || lpad(CAST(p_partkey AS VARCHAR), 6, '0')
+      |      ELSE 'oshwa.org/' || printf('us%06d', p_partkey)
       |    END AS unit_path,
       |    CASE p_partkey % 3
       |      WHEN 0 THEN 'thingiverse.com' WHEN 1 THEN 'github.com' ELSE 'oshwa.org'
@@ -89,7 +91,7 @@ object Seeds {
       |    CASE p_partkey % 3
       |      WHEN 0 THEN 'thingiverse.com/' || CAST(p_partkey // 10000 AS VARCHAR) || '/' || p_partkey
       |      WHEN 1 THEN 'github.com/owner' || (p_partkey % 10) || '/repo' || p_partkey || '/main/okh.toml'
-      |      ELSE 'oshwa.org/us' || lpad(CAST(p_partkey AS VARCHAR), 6, '0')
+      |      ELSE 'oshwa.org/' || printf('us%06d', p_partkey)
       |    END AS unit_path,
       |    CASE p_partkey % 3
       |      WHEN 0 THEN 'thingiverse.com' WHEN 1 THEN 'github.com' ELSE 'oshwa.org'

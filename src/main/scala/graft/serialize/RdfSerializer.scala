@@ -251,8 +251,16 @@ object RdfSerializer {
       idsOf("/graft/assets/spdx-licenses-extra.json")
   }
 
+  /** Digit-less SPDX ids outside the curated dimension (the heuristic
+    * below requires a digit, which these real ids lack).
+    */
+  private val digitlessSpdxIds = Set(
+    "NTP", "Xnet", "ICU", "OML", "Ruby", "curl", "Fair", "Vim", "TCL",
+    "X11", "Zed", "Zlib", "ISC", "MIT", "JSON", "Libpng", "OpenSSL",
+    "PostgreSQL", "Python", "Unlicense", "WTFPL", "Xerox", "libtiff")
+
   def isSpdxId(id: String): Boolean =
-    knownSpdxIds.contains(id) ||
+    knownSpdxIds.contains(id) || digitlessSpdxIds.contains(id) ||
       (id.nonEmpty && !id.startsWith("LicenseRef-") &&
         id.forall(c => c.isLetterOrDigit || c == '.' || c == '-' || c == '+') &&
         id.exists(_.isDigit))

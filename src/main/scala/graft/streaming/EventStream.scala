@@ -66,13 +66,25 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[FrontierUrl], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val rows = batch.toDF()
-            .withColumn("hosting_id", substring_index(col("unit_path"), "/", 1))
-            .withColumn("url_hash", xxhash64(col("unit_path")))
-            .withColumn("bucket", pmod(col("url_hash"), lit(32L)))
-          store.append(batch.sparkSession, rows, "bucket",
-            Map("batch_id" -> batchId), clusterBeforeWrite = true)
+        // foreachBatch is at-least-once: a crash between the append and the
+        // checkpoint commit replays the batch — skip batch ids the store
+        // already committed (the streaming form of the slice_id idempotency)
+        val alreadyCommitted = store.currentSnapshot
+          .exists(_.metrics.get("batch_id").exists(_ >= batchId))
+        if (!alreadyCommitted) {
+          // persist: the emptiness probe and the write share one compute
+          batch.persist()
+          try {
+            if (!batch.isEmpty) {
+              val rows = batch.toDF()
+                .withColumn("hosting_id", substring_index(col("unit_path"), "/", 1))
+                .withColumn("url_hash", xxhash64(col("unit_path")))
+                .withColumn("bucket", pmod(col("url_hash"),
+                  lit(graft.pipeline.CrawlPipeline.NBuckets.toLong)))
+              store.append(batch.sparkSession, rows, "bucket",
+                Map("batch_id" -> batchId), clusterBeforeWrite = true)
+            }
+          } finally batch.unpersist()
         }
         ()
       }
