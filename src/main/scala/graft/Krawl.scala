@@ -120,11 +120,13 @@ object Krawl {
     def badFilePaths(c: String) =
       exists(col(c), f => f.getField("path").rlike(badPathRe))
 
+    // exact membership only (validator/__init__.py is_okh_version accepts
+    // {okhv1.0, okh-loshv1.0} case-insensitively — a regex fallback could
+    // only WIDEN acceptance beyond reference parity, so there is none)
     val knownOkhv = lower(col("okhv")).isin("okhv1.0", "okh-loshv1.0")
     val reasons = concat_ws(",",
       when(col("okhv").isNull, lit("missing-okhv"))
-        .when(!(knownOkhv || col("okhv").rlike(ScalarFunctions.OkhvPattern)),
-          lit("invalid-okhv")),
+        .when(!knownOkhv, lit("invalid-okhv")),
       when(col("name").isNull || length(col("name")) < 1 || length(col("name")) > 256,
         lit("bad-name")),
       when(col("repo").isNull || !col("repo").rlike("^https?://"), lit("bad-repo")),

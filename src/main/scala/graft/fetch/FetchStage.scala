@@ -86,10 +86,15 @@ object FetchStage {
     */
   def politenessWithRobots(base: Map[String, Politeness],
       robots: Map[String, graft.model.Robots.Policy]): Map[String, Politeness] =
-    base.map { case (host, p) =>
+    // hosts present ONLY in the robots map still get an entry (built from
+    // the fetch-stage fallback budget) — otherwise a robots Crawl-delay for
+    // an unconfigured host would be silently dropped and the host paced with
+    // the bare fallback interval
+    (base.keySet ++ robots.keySet).iterator.map { host =>
+      val p = base.getOrElse(host, Politeness(1000L, 3))
       host -> p.copy(minIntervalMs = graft.model.Robots.effectiveIntervalMs(
         p.minIntervalMs, robots.getOrElse(host, graft.model.Robots.Allowed)))
-    }
+    }.toMap
 
   def defaultPoliteness: Map[String, Politeness] = Map(
     "thingiverse.com" -> Politeness(1000L, 3),

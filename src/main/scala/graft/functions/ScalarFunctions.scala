@@ -185,7 +185,8 @@ object ScalarFunctions {
   val SemverPattern = "^(0|[1-9]\\d*)\\.(0|[1-9]\\d*)\\.(0|[1-9]\\d*)(?:-[0-9A-Za-z-.]+)?(?:\\+[0-9A-Za-z-.]+)?$"
   val Sha1Pattern = "^[A-Fa-f0-9]{40}$"
   val Sha256Pattern = "^[A-Fa-f0-9]{64}$"
-  val OkhvPattern = "^OKH(-LOSH)?(-v[0-9.]+)?$"
+  // (no okhv regex: is_okh_version is an exact two-member set,
+  // validator/__init__.py + strict.py:28-31 — a pattern could only widen it)
   val Bcp47Pattern = "^[a-zA-Z]{2,3}(-[a-zA-Z0-9]{2,8})*$"
 
   // ---- C10/J5: extension → (type, category) dimension ----

@@ -30,19 +30,36 @@ object LicenseDim {
 
   val normalizeNameUdf = udf(normalizeName _)
 
+  /** `normalizeName` as a column: all-ASCII inputs (the overwhelmingly
+    * common case — SPDX ids and English license names) resolve through the
+    * codegen'd `trim(lower(...))` fast path (NFKD is the identity and
+    * casefold == lowercase on ASCII); only non-ASCII strings pay the Scala
+    * UDF. Keeps the per-document validate path inside whole-stage codegen.
+    */
+  def normalizeNameCol(c: Column): Column =
+    when(c.rlike("^[\\x00-\\x7F]*$"), trim(lower(c)))
+      .otherwise(normalizeNameUdf(c))
+
   /** Classpath asset → a real file path spark.read can open (on a cluster
     * the assets directory would live on shared storage; here the jar is the
     * distribution channel).
     */
   def assetPath(name: String): String = {
+    // the extracted copy is keyed by a digest of the RESOURCE BYTES: after a
+    // jar upgrade changes the bundled asset, the key changes too, so a stale
+    // copy from an older jar can never be silently reused (and two users'
+    // differing jars never collide on a shared tmpdir)
+    val in0 = getClass.getResourceAsStream(s"/graft/assets/$name")
+    require(in0 != null, s"missing asset $name")
+    val bytes = try in0.readAllBytes() finally in0.close()
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).take(8).map("%02x".format(_)).mkString
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_assets")
     Files.createDirectories(dir)
-    val target = dir.resolve(name)
+    val target = dir.resolve(s"$digest-$name")
     if (!Files.exists(target)) {
-      val in = getClass.getResourceAsStream(s"/graft/assets/$name")
-      require(in != null, s"missing asset $name")
-      val tmp = dir.resolve(s"$name.tmp-${java.util.UUID.randomUUID()}")
-      try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING) finally in.close()
+      val tmp = dir.resolve(s"$digest-$name.tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, bytes)
       try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
     }
@@ -93,7 +110,7 @@ object LicenseDim {
       col("is_blocked").as("blocked_by_id"), col("is_osi_approved").as("osi_by_id"))
     val byName = dim.select(col("norm_name"), col("license_id").as("spdx_by_name"),
       col("is_blocked").as("blocked_by_name"), col("is_osi_approved").as("osi_by_name"))
-    df.withColumn("norm_license", normalizeNameUdf(col(rawCol)))
+    df.withColumn("norm_license", normalizeNameCol(col(rawCol)))
       .join(broadcast(byId), col("norm_license") === col("norm_id"), "left_outer")
       .join(broadcast(byName), col("norm_license") === col("norm_name"), "left_outer")
       .withColumn("spdx_id", coalesce(col("spdx_by_id"), col("spdx_by_name")))

@@ -151,10 +151,19 @@ object CrawlPipeline {
     * files across sessions (re-registering the external table when a fresh
     * catalog doesn't know it yet).
     */
+  /** Catalog table name for a bucketed store dir: a 128-bit SHA-256 prefix
+    * of the full path (dir.hashCode is 32-bit — two distinct store dirs
+    * colliding would silently join the wrong payload bytes).
+    */
+  def storeTableName(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(16).map("%02x".format(_)).mkString
+    s"graft_store_b$digest"
+  }
+
   def ensureBucketedStore(spark: SparkSession, storeDir: String): String = {
     val dir = storeDir.stripSuffix("/") + "_bucketed"
-    val tbl = "graft_store_b" +
-      java.lang.Long.toHexString(dir.hashCode.toLong & 0xFFFFFFFFL)
+    val tbl = storeTableName(dir)
     if (!spark.catalog.tableExists(tbl)) synchronized {
       if (!spark.catalog.tableExists(tbl)) {
         if (new java.io.File(s"$dir/_SUCCESS").exists()) {

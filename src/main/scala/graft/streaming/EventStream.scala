@@ -58,6 +58,22 @@ object EventStream {
     * versioned manifests make each micro-batch a resumable commit with
     * lineage, exactly like batch slices).
     */
+  /** Latest committed batch_id across the store's snapshot chain: walk
+    * parent links from CURRENT until a snapshot carries the metric. Bounded
+    * by chain length (snapshot manifests are tiny driver-side JSON reads).
+    */
+  def highWaterBatchId(store: graft.tables.SnapshotStore): Option[Long] = {
+    var v = store.currentVersion
+    while (v.exists(_ >= 0)) {
+      val snap = store.readSnapshot(v.get)
+      snap.metrics.get("batch_id") match {
+        case some @ Some(_) => return some
+        case None => v = Some(snap.parentVersion).filter(_ >= 0)
+      }
+    }
+    None
+  }
+
   def incrementalFrontierSink(deduped: Dataset[FrontierUrl],
       store: graft.tables.SnapshotStore, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -68,9 +84,12 @@ object EventStream {
       .foreachBatch { (batch: Dataset[FrontierUrl], batchId: Long) =>
         // foreachBatch is at-least-once: a crash between the append and the
         // checkpoint commit replays the batch — skip batch ids the store
-        // already committed (the streaming form of the slice_id idempotency)
-        val alreadyCommitted = store.currentSnapshot
-          .exists(_.metrics.get("batch_id").exists(_ >= batchId))
+        // already committed (the streaming form of the slice_id idempotency).
+        // The high-water batch_id is searched back through the snapshot
+        // CHAIN, not just the newest snapshot: another writer (e.g. the
+        // batch pipeline, whose commits carry no batch_id metric) appending
+        // between a streaming commit and its replay must not hide the guard.
+        val alreadyCommitted = highWaterBatchId(store).exists(_ >= batchId)
         if (!alreadyCommitted) {
           // persist: the emptiness probe and the write share one compute
           batch.persist()

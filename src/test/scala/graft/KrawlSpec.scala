@@ -73,4 +73,26 @@ class KrawlSpec extends SparkTestBase {
     assert(!v("NoV")._1 && v("NoV")._2.contains("missing-okhv"))
     assert(!v("Blk")._1 && v("Blk")._2.contains("blocked-license"))
   }
+
+  test("validate okhv: exact-membership only, no lax regex acceptance " +
+      "(validator/__init__.py is_okh_version)") {
+    // 'OKH-v2.0' used to slip through a regex fallback wider than the
+    // reference's {okhv1.0, okh-loshv1.0} set — it must be invalid-okhv
+    def tomlWith(okhv: String) =
+      s"""okhv = "$okhv"
+         |name = "V"
+         |repo = "https://x.org/v"
+         |version = "1"
+         |license = "MIT"
+         |licensor = "A"
+         |""".stripMargin
+    val projects = graft.normalize.Normalizers.manifest(spark,
+      Seq(("toml", tomlWith("OKH-v2.0")), ("toml", tomlWith("OKHv1.0")),
+        ("toml", tomlWith("okh-loshv1.0"))).toDF("fmt", "content"))
+    val v = Krawl.validate(projects).select("okhv", "ok", "reasons").collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(!v("OKH-v2.0")._1 && v("OKH-v2.0")._2.contains("invalid-okhv"))
+    assert(v("OKHv1.0")._1) // case-insensitive membership
+    assert(v("okh-loshv1.0")._1)
+  }
 }

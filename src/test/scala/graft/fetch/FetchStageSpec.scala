@@ -22,6 +22,18 @@ class FetchStageSpec extends SparkTestBase {
     assert(merged("b.com").minIntervalMs == 8000L) // platform wins
   }
 
+  test("robots Crawl-delay for a host ABSENT from the platform map still applies") {
+    val base = Map("a.com" -> FetchStage.Politeness(1000L, 3))
+    val robots = Map(
+      "new-host.org" -> graft.model.Robots.parse("User-agent: *\nCrawl-delay: 7\n"))
+    val merged = FetchStage.politenessWithRobots(base, robots)
+    // synthesized from the fetch-stage fallback (1000ms, 3 retries), raised
+    // to the robots-mandated 7s — previously silently dropped
+    assert(merged("new-host.org").minIntervalMs == 7000L)
+    assert(merged("new-host.org").maxRetries == 3)
+    assert(merged("a.com").minIntervalMs == 1000L)
+  }
+
   test("R1 window budget: exhausted budget sleeps to the window reset (ref rate_limit.py:15-34)") {
     // 100ms interval, 5 requests per 1000ms window → requests 6.. jump to
     // the next window even though the interval alone would allow them

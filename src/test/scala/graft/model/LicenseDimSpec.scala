@@ -51,6 +51,28 @@ class LicenseDimSpec extends SparkTestBase {
     assert(out("Nope License") == (null, None))
   }
 
+  test("normalizeNameCol (ASCII fast path + UDF fallback) ≡ normalizeName") {
+    val inputs = Seq("MIT", "mit", "  Apache License 2.0 ", "ＭＩＴ",
+      "Straße", "Café", "CC-BY-4.0", "", "  ", "ǅungla")
+    val viaCol = inputs.toDF("s")
+      .select(LicenseDim.normalizeNameCol(col("s"))).as[String].collect()
+    assert(viaCol.toSeq == inputs.map(LicenseDim.normalizeName))
+    // null rides through both paths
+    val nullOut = Seq[String](null).toDF("s")
+      .select(LicenseDim.normalizeNameCol(col("s"))).collect()(0)
+    assert(nullOut.isNullAt(0))
+  }
+
+  test("assetPath is content-hash keyed (stale copies can't be reused)") {
+    val a = LicenseDim.assetPath("spdx-licenses.json")
+    val b = LicenseDim.assetPath("spdx-licenses.json")
+    assert(a == b) // idempotent within a jar version
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(a)))
+    // key embeds a digest of the resource bytes, not just the name
+    assert(java.nio.file.Paths.get(a).getFileName.toString
+      .matches("[0-9a-f]{16}-spdx-licenses\\.json"))
+  }
+
   test("resolution joins broadcast the dimension (fact side unshuffled)") {
     val raw = Seq("MIT", "mit").toDF("raw_license")
     val plan = LicenseDim.resolve(spark, raw, "raw_license")

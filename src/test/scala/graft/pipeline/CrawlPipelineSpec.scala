@@ -308,6 +308,16 @@ class CrawlPipelineSpec extends SparkTestBase {
     raw.unpersist()
   }
 
+  test("bucketed-store table names are collision-resistant per directory") {
+    // dir.hashCode was 32-bit — a collision would silently join the wrong
+    // payload bytes; the name is now a 128-bit SHA-256 prefix of the path
+    val a = CrawlPipeline.storeTableName("/tmp/store_a_bucketed")
+    val b = CrawlPipeline.storeTableName("/tmp/store_b_bucketed")
+    assert(a != b)
+    assert(a.matches("graft_store_b[0-9a-f]{32}"))
+    assert(a == CrawlPipeline.storeTableName("/tmp/store_a_bucketed")) // stable
+  }
+
   test("golden crawl order: ascending id within each host (F1/F3/F4), interleave = (priority, seq) data") {
     val root = freshRoot()
     CrawlPipeline.run(spark, storeDir, root)

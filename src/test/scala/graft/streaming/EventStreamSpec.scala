@@ -113,6 +113,27 @@ class EventStreamSpec extends SparkTestBase {
     assert(store.currentSnapshot.get.lineage.values.sum == 3L)
   }
 
+  test("replay guard: high-water batch_id survives an interleaved batch commit") {
+    import org.apache.spark.sql.functions._
+    val store = new graft.tables.SnapshotStore(
+      Files.createTempDirectory("graft-hw-store").toString)
+    val row = Seq(("u1", 0L)).toDF("unit_path", "bucket")
+    // streaming commit with batch_id=5
+    store.append(spark, row, "bucket", Map("batch_id" -> 5L))
+    assert(EventStream.highWaterBatchId(store).contains(5L))
+    // a BATCH-pipeline append (no batch_id metric) lands on top — the guard
+    // must still see batch_id=5 by scanning back the snapshot chain
+    store.append(spark, row.withColumn("bucket", lit(1L)), "bucket",
+      Map("slice_id" -> 0L))
+    assert(store.currentSnapshot.get.metrics.get("batch_id").isEmpty)
+    assert(EventStream.highWaterBatchId(store).contains(5L),
+      "replayed micro-batch 5 would be appended twice")
+    // empty store → no high water
+    val empty = new graft.tables.SnapshotStore(
+      Files.createTempDirectory("graft-hw-empty").toString)
+    assert(EventStream.highWaterBatchId(empty).isEmpty)
+  }
+
   test("politeness pacer as a streaming query (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.FetchRequest]
