@@ -37,6 +37,11 @@ object FileRef {
   val empty: FileRef = FileRef(None, None, None, None, None)
 }
 
+/** RDF language-tagged string (reference: model/language_string.py:12-20) —
+  * serializes as `"text"@language`.
+  */
+final case class LangStr(text: String, language: String)
+
 /** reference: model/file.py:178-210 (Image = File + slots/tags/depicts). */
 final case class ImageRef(
     name: Option[String],
@@ -46,7 +51,7 @@ final case class ImageRef(
     mime_type: Option[String],
     slots: Seq[String],
     tags: Seq[String],
-    depicts: Seq[String]) {
+    depicts: Seq[LangStr]) {
   def toFile: FileRef = FileRef(name, path, url, frozen_url, mime_type)
 }
 
@@ -235,10 +240,20 @@ object ProjectModel {
     optStr(f, "name"), optStr(f, "path"), optStr(f, "url"),
     optStr(f, "frozen_url"), optStr(f, "mime_type"))
 
+  private def langStrSeq(r: Row, n: String): Seq[LangStr] = {
+    val i = idxOf(r, n)
+    if (i < 0 || r.isNullAt(i)) Seq.empty
+    else r.getSeq[Row](i).filter(_ != null).flatMap { d =>
+      // missing text → entry dropped (the reference raises; errors-as-data
+      // here); missing language defaults to 'en' (manifest.py:284-305)
+      optStr(d, "text").map(t => LangStr(t, optStr(d, "language").getOrElse("en")))
+    }
+  }
+
   private def imageOf(f: Row): ImageRef = ImageRef(
     optStr(f, "name"), optStr(f, "path"), optStr(f, "url"),
     optStr(f, "frozen_url"), optStr(f, "mime_type"),
-    strSeq(f, "slots"), strSeq(f, "tags"), strSeq(f, "depicts"))
+    strSeq(f, "slots"), strSeq(f, "tags"), langStrSeq(f, "depicts"))
 
   private def agentOf(a: Row): AgentRow = AgentRow(
     optStr(a, "name"), optStr(a, "email"), optStr(a, "url"), optStr(a, "iri"),

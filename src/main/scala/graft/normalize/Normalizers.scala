@@ -26,7 +26,17 @@ object Normalizers {
   // dataclass defaults) ----
 
   val fileType = "struct<name:string,path:string,url:string>"
+  /** depicts is a LangStr list (`"text"@language` in RDF; language_string.py:
+    * 12-20) — manifest entries may be plain strings (→ language 'en') or
+    * {text, language} dicts (manifest.py:284-305).
+    */
+  val langStrType = "struct<text:string,language:string>"
   val imageType = "struct<name:string,path:string,url:string," +
+    s"slots:array<string>,tags:array<string>,depicts:array<$langStrType>>"
+  /** The pre-resolution parse shape of a dict image entry: depicts as the
+    * raw array<string> view so string-or-dict elements resolve per-element.
+    */
+  private val imageParseType = "struct<name:string,path:string,url:string," +
     "slots:array<string>,tags:array<string>,depicts:array<string>>"
   val agentType = "struct<name:string,email:string,url:string>"
   val dimsType = "struct<width:double,height:double,depth:double>"
@@ -180,7 +190,7 @@ object Normalizers {
       f.getField("url").as("url"),
       array().cast("array<string>").as("slots"),
       array().cast("array<string>").as("tags"),
-      array().cast("array<string>").as("depicts")))
+      array().cast(s"array<$langStrType>").as("depicts")))
 
     hits
       .join(broadcast(licenseDim(spark)), col("license") === col("tv_license"), "left_outer")
@@ -367,10 +377,13 @@ object Normalizers {
 
   /** TOML/YAML manifest content (`fmt` column ∈ {toml, yml, json}) →
     * Project rows. Parse errors become null rows filtered into a failure
-    * channel by the caller (errors-as-data).
+    * channel by the caller (errors-as-data). `passthrough` columns of the
+    * input ride along unchanged (e.g. unit_path/payload keys, so the
+    * pipeline's S10 sink never re-joins the frontier).
     */
   def manifest(spark: SparkSession, raw: DataFrame,
-      contentCol: String = "content", fmtCol: String = "fmt"): DataFrame = {
+      contentCol: String = "content", fmtCol: String = "fmt",
+      passthrough: Seq[String] = Seq.empty): DataFrame = {
     val json = raw.withColumn("manifest_json",
       when(col(fmtCol) === "toml", tomlToJsonUdf(col(contentCol)))
         .when(col(fmtCol).isin("yml", "yaml"), yamlToJsonUdf(col(contentCol)))
@@ -418,25 +431,38 @@ object Normalizers {
         s"array() as slots, array() as tags, array() as depicts)"
     val strArr = from_json(get_json_object(col("manifest_json"), "$.image"),
       ArrayType(StringType))
+    // depicts entries inside a dict image resolve per-element like the
+    // images themselves: '{'-prefixed → {text, language?='en'} dict, plain
+    // string → LangStr(text, 'en'); text-less entries drop (manifest.py:
+    // 284-305 — the reference raises, we treat errors as data)
+    val depictsSql =
+      s"""filter(
+         |  transform(coalesce(o.depicts, array()), d -> CASE
+         |    WHEN d IS NULL THEN NULL
+         |    WHEN d LIKE '{%' THEN struct(
+         |      get_json_object(d, '$$.text') as text,
+         |      coalesce(get_json_object(d, '$$.language'), 'en') as language)
+         |    ELSE struct(d as text, 'en' as language) END),
+         |  dd -> dd IS NOT NULL AND dd.text IS NOT NULL)""".stripMargin
     val imageColumn =
       when(col("__img_str").isNotNull, expr(
         s"""filter(
            |  transform(
            |    transform(__img_str, s -> CASE
            |      WHEN s IS NULL THEN NULL
-           |      WHEN s LIKE '{%' THEN from_json(s, '$imageType')
+           |      WHEN s LIKE '{%' THEN from_json(s, '$imageParseType')
            |      ELSE ${imgStructSql("s")} END),
            |    o -> CASE WHEN o IS NULL OR (o.path IS NULL AND o.url IS NULL) THEN NULL
            |         ELSE struct(o.name as name, o.path as path, o.url as url,
            |              coalesce(o.slots, array()) as slots,
            |              coalesce(o.tags, array()) as tags,
-           |              coalesce(o.depicts, array()) as depicts) END),
+           |              $depictsSql as depicts) END),
            |  x -> x IS NOT NULL)""".stripMargin))
         .otherwise(array().cast(s"array<$imageType>"))
 
     m.withColumn("__img_str", strArr)
-      .select(
-      col("m.repo").as("project_id"),
+      .select((passthrough.map(col) :+
+      col("m.repo").as("project_id")) ++ Seq(
       col("m.name").as("name"),
       col("m.repo").as("repo"),
       col("m.version").as("version"),
@@ -524,7 +550,7 @@ object Normalizers {
         |  case when s.licensor is not null
         |       then array(struct(s.licensor as name, cast(null as string) as email,
         |                         cast(null as string) as url))
-        |       else array() end as licensor))""".stripMargin).as("software"))
+        |       else array() end as licensor))""".stripMargin).as("software")): _*)
   }
 
   /** A6: unique part names within a project (dict_utils.py:136-145) —

@@ -215,6 +215,12 @@ object CrawlPipeline {
     * url_seen, commit snapshots, return counters. Re-invoking continues
     * from the committed snapshot (resume, R6).
     */
+  /** The OKH manifest the synthetic transport delivers per store id (the
+    * TOML twin of SyntheticStore's image payload).
+    */
+  private val manifestTomlUdf =
+    udf((id: Long) => graft.fixtures.SyntheticManifests.toml(id))
+
   private val profile = sys.env.get("GRAFT_PROFILE").contains("1")
   private def timed[A](name: String)(f: => A): A = {
     if (!profile) f
@@ -357,29 +363,61 @@ object CrawlPipeline {
     val fetchLogF = Future(alreadyCommitted(lStore).getOrElse(
       timed("fetch_log append")(lStore.append(spark, log.toDF(), "hosting_id",
         statusCounts.updated("slice_id", sliceId), clusterBeforeWrite = true))))
-    // S10: 3-graph RDF sink (normalized.okh_toml / meta / data.okh turtle
-    // per project — fetch_result_repository_workdir.py:105-110), built with
-    // a typed map over the result rows (pure per-row serialization, no
-    // shuffle) and committed with the same slice_id idempotency.
+    // S10: 3-graph RDF sink — the FULL normalize→TOML→RDF chain per fetched
+    // unit, mirroring the reference's NormalizationListener
+    // (fetcher/factory.py:49-59): the delivered manifest payload runs
+    // through Normalizers.manifest, the normalized project serializes to
+    // the empty-stripped manifest TOML (toml_serializer.py:88-110) stored
+    // on normalized_toml, then RdfSerializer emits the three turtle graphs
+    // (normalized.okh_toml carries the deflate+base64 TOML,
+    // rdf_serializer.py:827-832). Everything after the normalize transform
+    // is one typed map — pure per-row serialization, no shuffle — committed
+    // with the same slice_id idempotency.
     val projectsF = if (!rdfSink) None else Some {
       val pStore = projectsStore(tableRoot)
       Future(alreadyCommitted(pStore).getOrElse(timed("projects append") {
-        val docs = results
+        // the manifest the platform delivers for a unit: deterministic
+        // function of the store id (the fixture transport's payload twin,
+        // like SyntheticStore for the image bytes)
+        val raws = results
           .select(col("image_id"), col("unit_path"), col("caption"), col("id_group"))
           .withColumn("id",
             regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long"))
-          .as[(String, String, String, Long, Long)]
-          .map { case (imageId, unitPath, caption, idGroup, id) =>
-            val hosting = unitPath.takeWhile(_ != '/')
-            val p = graft.model.ProjectModel.minimal(unitPath, caption, seedUrl(id))
-              .copy(image = Seq(graft.model.ImageRef(Some(imageId), None,
-                Some(s"img://$imageId"), None, None, Seq.empty, Seq.empty, Seq.empty)))
-            val cm = graft.model.CrawlMeta.initial(hosting, "api")
-            val d = graft.serialize.RdfSerializer.serialize(p, cm)
-            (d.project_id, d.normalized_okh_toml_ttl, d.meta_ttl, d.data_okh_ttl, idGroup)
+          .withColumn("fmt", lit("toml"))
+          .withColumn("content", manifestTomlUdf(col("id")))
+        val normalized = graft.normalize.Normalizers.manifest(spark, raws,
+          passthrough = Seq("image_id", "unit_path", "caption", "id_group", "id"))
+        val docs = normalized.map { r =>
+          val imageId = r.getAs[String]("image_id")
+          val unitPath = r.getAs[String]("unit_path")
+          val idGroup = r.getAs[Long]("id_group")
+          val id = r.getAs[Long]("id")
+          val hosting = unitPath.takeWhile(_ != '/')
+          val p0 = graft.model.ProjectModel.fromRow(r)
+          // the fetched payload image, its caption as the depicts LangStr
+          // (image+caption pairs are the north-rule payload)
+          val lang = p0.documentation_language.headOption.getOrElse("en")
+          val img = graft.model.ImageRef(Some(imageId), None,
+            Some(s"img://$imageId"), None, None, Seq.empty, Seq.empty,
+            Seq(graft.model.LangStr(r.getAs[String]("caption"), lang)))
+          val p1 = p0.copy(image = p0.image :+ img)
+          val p = p1.copy(normalized_toml =
+            Some(graft.serialize.Serializers.projectToToml(p1)))
+          // sourcing procedure by platform family (factory.py fetcher kinds:
+          // forges deliver manifests, appropedia generates one, the API
+          // platforms are API-sourced); forge units record the manifest URL
+          val proc = hosting match {
+            case "github.com" | "gitlab.com" | "codeberg.org" => "manifest"
+            case "appropedia.org" => "generated-manifest"
+            case _ => "api"
           }
-          .toDF("project_id", "normalized_okh_toml_ttl", "meta_ttl",
-            "data_okh_ttl", "id_group")
+          val manifestUrl = if (proc == "manifest") Some(seedUrl(id)) else None
+          val cm = graft.model.CrawlMeta.initial(hosting, proc,
+            manifest = manifestUrl, okhv = Option(r.getAs[String]("okhv")))
+          val d = graft.serialize.RdfSerializer.serialize(p, cm)
+          (unitPath, d.normalized_okh_toml_ttl, d.meta_ttl, d.data_okh_ttl, idGroup)
+        }.toDF("project_id", "normalized_okh_toml_ttl", "meta_ttl",
+          "data_okh_ttl", "id_group")
         pStore.append(spark, docs, "id_group", Map("slice_id" -> sliceId))
       }))
     }

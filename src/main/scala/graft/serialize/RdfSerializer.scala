@@ -145,6 +145,13 @@ object RdfSerializer {
 
   def typedLit(v: String, datatype: String): String = s"${lit(v)}^^$datatype"
 
+  /** Language-tagged literal `"text"@lang` — a LangStr ALWAYS serializes
+    * with its tag, even when the text is URL-shaped (rdf_serializer.py:
+    * 292-299: the LangStr branch never reaches the URIRef promotion).
+    */
+  def langLit(v: String, lang: String): String =
+    if (lang == null || lang.isEmpty) lit(v) else s"${lit(v)}@$lang"
+
   /** The reference's polymorphic `add` (rdf_serializer.py:291-310): falsy
     * objects are SKIPPED (None, "", 0 — a quirk we preserve: `changes=0`
     * emits no triple); plain strings that are valid http(s) URLs become
@@ -347,7 +354,9 @@ object RdfSerializer {
       addRes(g, subj, "okh:fillsSlot", s"okhimg:slot${upperCamelCase(s)}"))
     img.tags.foreach(t =>
       addRes(g, subj, "okh:hasTag", s"okhimg:tag${upperCamelCase(t)}"))
-    img.depicts.foreach(d => addStr(g, subj, "okh:depicts", Some(d)))
+    img.depicts.foreach(d =>
+      if (d.text.nonEmpty)
+        g.addTriple(Triple(subj, "okh:depicts", langLit(d.text, d.language))))
   }
 
   private def addFileInfo(g: TripleGraph, f: FileRef, entityName: String,

@@ -108,8 +108,123 @@ object Serializers {
     case n: Json.JNum => n.raw
     case Json.JBool(b) => b.toString
     case Json.JArr(items) => items.map(tomlValue).mkString("[", ", ", "]")
+    // nested objects (e.g. file structs inside [[part]] entries) render as
+    // TOML inline tables
+    case Json.JObj(fields) =>
+      fields.map { case (k, x) => s"${tomlKey(k)} = ${tomlValue(x)}" }
+        .mkString("{ ", ", ", " }")
     case other => "\"" + other.toString + "\""
   }
+
+  // ---- C23 full breadth: normalized Project → OKH-manifest-shaped dict →
+  // stripped TOML (reference toml_serializer.py:88-110: orjson(project,
+  // SORT_KEYS) → dictionary_stripper → toml.dumps; the dict keys are the
+  // Project dataclass field names, project.py:21-69) ----
+
+  import graft.model._
+
+  private def jsOpt(o: Option[String]): Json.Value = Json.s(o.orNull)
+  private def jsArr(xs: Seq[String]): Json.Value =
+    Json.JArr(xs.map(Json.s).toVector)
+  private def jArr(xs: Seq[Json.Value]): Json.Value = Json.JArr(xs.toVector)
+
+  /** Keys sorted (orjson OPT_SORT_KEYS). */
+  private def fileJson(f: FileRef): Json.Value = Json.obj(
+    "frozen_url" -> jsOpt(f.frozen_url),
+    "mime_type" -> jsOpt(f.mime_type),
+    "name" -> jsOpt(f.name),
+    "path" -> jsOpt(f.path),
+    "url" -> jsOpt(f.url))
+
+  private def imageJson(img: ImageRef): Json.Value = Json.obj(
+    // sets serialize sorted (serializer/util.py:19-26 orjson set mapper)
+    "depicts" -> jArr(img.depicts.sortBy(d => (d.text, d.language)).map(d =>
+      Json.obj("language" -> Json.s(d.language), "text" -> Json.s(d.text)))),
+    "frozen_url" -> jsOpt(img.frozen_url),
+    "mime_type" -> jsOpt(img.mime_type),
+    "name" -> jsOpt(img.name),
+    "path" -> jsOpt(img.path),
+    "slots" -> jsArr(img.slots.sorted),
+    "tags" -> jsArr(img.tags.sorted),
+    "url" -> jsOpt(img.url))
+
+  private def agentJson(a: AgentRow): Json.Value = Json.obj(
+    "email" -> jsOpt(a.email),
+    "iri" -> jsOpt(a.iri),
+    "name" -> jsOpt(a.name),
+    "url" -> jsOpt(a.url))
+
+  private def dimsJson(d: OuterDims): Json.Value = Json.obj(
+    "depth" -> d.depth.map(Json.d).getOrElse(Json.JNull),
+    "height" -> d.height.map(Json.d).getOrElse(Json.JNull),
+    "width" -> d.width.map(Json.d).getOrElse(Json.JNull))
+
+  private def partJson(p: PartRow): Json.Value = Json.obj(
+    "auxiliary" -> jArr(p.auxiliary.map(fileJson)),
+    "export" -> jArr(p.export.map(fileJson)),
+    "image" -> jArr(p.image.map(imageJson)),
+    "manufacturing_instructions" -> jArr(p.manufacturing_instructions.map(fileJson)),
+    "mass" -> p.mass.map(Json.d).getOrElse(Json.JNull),
+    "material" -> jsOpt(p.material),
+    "name" -> jsOpt(p.name),
+    "name_clean" -> Json.s(p.name_clean),
+    "outer_dimensions" -> p.outer_dimensions.map(dimsJson).getOrElse(Json.JNull),
+    "source" -> jArr(p.source.map(fileJson)),
+    "tsdc" -> jsOpt(p.tsdc))
+
+  private def softwareJson(s: SoftwareRow): Json.Value = Json.obj(
+    "documentation_language" -> jsArr(s.documentation_language),
+    "installation_guide" -> s.installation_guide.map(fileJson).getOrElse(Json.JNull),
+    "license" -> jsOpt(s.license_spdx),
+    "licensor" -> jArr(s.licensor.map(agentJson)),
+    "organization" -> jArr(s.organization.map(agentJson)),
+    "release" -> Json.s(s.release))
+
+  /** The normalized project as its manifest-shaped dict (sorted keys).
+    * `license` carries the resolved SPDX id string where the reference
+    * embeds the full LicenseCont record — the id is the record's key and
+    * the only field the engine's model retains.
+    */
+  def projectJson(p: ProjectModel): Json.JObj = Json.obj(
+    "attestation" -> jsArr(p.attestation),
+    "auxiliary" -> jArr(p.auxiliary.map(fileJson)),
+    "bom" -> jArr(p.bom.map(fileJson)),
+    "contribution_guide" -> p.contribution_guide.map(fileJson).getOrElse(Json.JNull),
+    "cpc_patent_class" -> jsOpt(p.cpc_patent_class),
+    "documentation_language" -> jsArr(p.documentation_language),
+    "documentation_readiness_level" -> jsOpt(p.drl),
+    "export" -> jArr(p.export.map(fileJson)),
+    // TODO-HACK parity (toml_serializer.py:99-101, thingiverse 682052):
+    // a stripped function starting with \b drops the control char
+    "function" -> jsOpt(p.function.map(f =>
+      if (f.startsWith("\b")) f.substring(1) else f)),
+    "image" -> jArr(p.image.map(imageJson)),
+    "license" -> jsOpt(p.license_spdx),
+    "licensor" -> jArr(p.licensor.map(agentJson)),
+    "manufacturing_instructions" -> jArr(p.manufacturing_instructions.map(fileJson)),
+    "mass" -> p.mass.map(Json.d).getOrElse(Json.JNull),
+    "name" -> Json.s(p.name),
+    "organization" -> jArr(p.organization.map(agentJson)),
+    "outer_dimensions" -> p.outer_dimensions.map(dimsJson).getOrElse(Json.JNull),
+    "part" -> jArr(p.part.map(partJson)),
+    "publication" -> jsArr(p.publication),
+    "readme" -> jArr(p.readme.map(fileJson)),
+    "release" -> jsOpt(p.release),
+    "repo" -> Json.s(p.repo),
+    "software" -> jArr(p.software.map(softwareJson)),
+    "source" -> jArr(p.source.map(fileJson)),
+    "standard_compliance" -> jsArr(p.standard_compliance),
+    "technology_readiness_level" -> jsOpt(p.trl),
+    "tsdc" -> jsOpt(p.tsdc),
+    "user_manual" -> jArr(p.user_manual.map(fileJson)),
+    "version" -> jsOpt(p.version))
+    // normalized_toml itself is None at serialization time and stripped
+
+  /** The normalized-manifest TOML the reference stores on
+    * `project.normalized_toml` and deflates into the toml graph
+    * (fetcher/factory.py:49-59 → toml_serializer.py:88-110).
+    */
+  def projectToToml(p: ProjectModel): String = toToml(projectJson(p))
 
   // ---- C24: RDF triple emission + Turtle (reference:
   // serializer/rdf_serializer.py:42-70 namespaces, 117-203 dataset,

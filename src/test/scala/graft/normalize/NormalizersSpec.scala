@@ -223,7 +223,7 @@ class NormalizersSpec extends SparkTestBase {
         |license = "MIT"
         |licensor = "A"
         |function = "shows images"
-        |image = [ "front.png", { url = "https://x/main.png", slots = ["icon-main", "photo-thing-main"], tags = ["photo", "color"], depicts = ["front view"] } ]
+        |image = [ "front.png", { url = "https://x/main.png", slots = ["icon-main", "photo-thing-main"], tags = ["photo", "color"], depicts = ["front view", { text = "Vorderansicht", language = "de" }] } ]
         |""".stripMargin
     val m = Normalizers.manifest(spark, Seq(("toml", toml)).toDF("fmt", "content"))
     val imgs = m.collect()(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("image")
@@ -237,7 +237,11 @@ class NormalizersSpec extends SparkTestBase {
     assert(imgs(1).getAs[scala.collection.Seq[String]]("slots")
       == Seq("icon-main", "photo-thing-main"))
     assert(imgs(1).getAs[scala.collection.Seq[String]]("tags") == Seq("photo", "color"))
-    assert(imgs(1).getAs[scala.collection.Seq[String]]("depicts") == Seq("front view"))
+    // depicts: string entry → LangStr(text, 'en'); dict entry keeps its
+    // language tag (manifest.py:284-305)
+    val depicts = imgs(1).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("depicts")
+      .map(d => (d.getAs[String]("text"), d.getAs[String]("language")))
+    assert(depicts == Seq(("front view", "en"), ("Vorderansicht", "de")))
 
     // and the slots/tags flow into the RDF image triples (rdf_serializer.py:761-779)
     val p = graft.model.ProjectModel.fromRow(m.collect()(0))
@@ -245,7 +249,9 @@ class NormalizersSpec extends SparkTestBase {
       graft.model.CrawlMeta.initial("github.com", "manifest"))
     assert(docs.data_okh_ttl.contains("okh:fillsSlot okhimg:slotIconMain"))
     assert(docs.data_okh_ttl.contains("okh:hasTag okhimg:tagPhoto"))
-    assert(docs.data_okh_ttl.contains("okh:depicts \"front view\""))
+    // LangStr → language-tagged literals (rdf_serializer.py:292-299)
+    assert(docs.data_okh_ttl.contains("okh:depicts \"front view\"@en"))
+    assert(docs.data_okh_ttl.contains("okh:depicts \"Vorderansicht\"@de"))
   }
 
   test("manifest breadth feeds the 3-graph RDF serializer end-to-end") {

@@ -168,21 +168,68 @@ class CrawlPipelineSpec extends SparkTestBase {
     results.unpersist()
   }
 
-  test("S10 rdf sink: one 3-graph turtle row per ok unit, committed with the slice") {
+  test("S10 rdf sink: FULL normalize→TOML→RDF chain per ok unit " +
+      "(NormalizationListener parity, factory.py:49-59)") {
     val root = freshRoot()
     val s = CrawlPipeline.run(spark, storeDir, root, rdfSink = true)
     val projects = CrawlPipeline.projectsStore(root).read(spark).get.cache()
     assert(projects.count() == s.ok, "one projects row per ok unit")
     assert(projects.columns.toSet == Set("project_id",
       "normalized_okh_toml_ttl", "meta_ttl", "data_okh_ttl", "id_group"))
+
+    // unit 4: thingiverse (4%5), one part (4%3=1), license MIT (4%4=0),
+    // doc language ["en"] (even) — a fully-populated fixture manifest
+    val unitId = 4L
+    val richRow = projects
+      .filter(col("project_id") === CrawlPipeline.expectedUnitPath(unitId)).head()
     val row = projects.filter(col("project_id").startsWith("thingiverse.com/")).head()
-    val dataTtl = row.getAs[String]("data_okh_ttl")
-    assert(dataTtl.startsWith("@prefix"))
+
+    // toml graph: carries the deflate+base64 normalized manifest TOML, and
+    // inflating it yields the EXACT projectToToml of the normalized project
+    val tomlTtl = richRow.getAs[String]("normalized_okh_toml_ttl")
+    assert(tomlTtl.contains("okh:normalizedManifestContent"),
+      s"empty toml graph for unit $unitId:\n$tomlTtl")
+    val packed = tomlTtl.linesIterator
+      .find(_.contains("okh:normalizedManifestContent")).get
+      .split("\"")(1)
+    val toml = graft.functions.ScalarFunctions.inflateB64(packed)
+    // the normalized TOML round-trips through our parser and carries the
+    // manifest's normalized fields (licensor agent, parts)
+    val back = graft.formats.Toml.parse(toml)
+    assert(back.str("name") == s"Thing $unitId")
+    assert(back.str("license") == graft.fixtures.SyntheticManifests
+      .licenseExpr(unitId).split(" ")(0)) // first-license pick (C12)
+    assert(toml.contains("[[part]]"))
+    assert(toml.contains("[[licensor]]"))
+    assert(toml.contains(s"""name = "User $unitId""""))
+    // the fetched payload image rides in with its caption as "text"@lang
+    assert(toml.contains("img://thing:"))
+
+    // data graph: license/licensor/part triples from the real normalizer
+    val dataTtl = richRow.getAs[String]("data_okh_ttl")
     assert(dataTtl.contains("a okh:Module ;"))
-    assert(dataTtl.contains("okh:hasImage :projectImage1"))
+    assert(dataTtl.contains("ods:license spdxl:"))
+    assert(dataTtl.contains("ods:licensor :licensor0"))
+    assert(dataTtl.contains("a okh:Part ;"))
+    assert(dataTtl.contains("okh:hasComponent"))
+    assert(dataTtl.contains("okh:depicts \"") && dataTtl.contains("\"@en"),
+      "fetched image caption must be a language-tagged depicts literal")
+    // the payload image node exists alongside manifest-borne content (the
+    // img:// scheme is not http(s) → stays a literal, rdf_serializer.py:
+    // 291-310 URL promotion)
+    assert(dataTtl.contains("ods:url \"img://thing:"))
+
     val metaTtl = row.getAs[String]("meta_ttl")
     assert(metaTtl.contains("ods:primaryHost okhkrawl:dataProviderThingiverse"))
     assert(metaTtl.contains("void:rootResource :project"))
+    assert(metaTtl.contains("okh:okhv \"OKH-LOSHv1.0\""),
+      "okhv_fetched must come from the parsed manifest")
+    // forge units record the manifest URL as a ManifestFile node
+    val ghRow = projects.filter(col("project_id").startsWith("github.com/")).head()
+    assert(ghRow.getAs[String]("meta_ttl")
+      .contains("okhkrawl:dataSourcingProcedureManifest"))
+    assert(ghRow.getAs[String]("meta_ttl").contains("a okh:ManifestFile"))
+
     // resume does not duplicate the projects table
     CrawlPipeline.run(spark, storeDir, root, rdfSink = true)
     val ids = CrawlPipeline.projectsStore(root).read(spark).get

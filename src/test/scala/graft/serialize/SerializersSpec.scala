@@ -77,71 +77,23 @@ class SerializersSpec extends SparkTestBase {
     assert(graft.functions.ScalarFunctions.inflateB64(packed) == toml)
   }
 
-  // ---- C24 full parity: the three-graph serializer ----
+  // ---- C24 full parity: the three-graph serializer (shared maximal
+  // fixture in RdfFixtures) ----
 
   import graft.model._
-
-  /** Rich fixture exercising every branch of rdf_serializer.py:75-869. */
-  private def fixtureProject: ProjectModel = ProjectModel.minimal(
-    "github.com/o/widget", "Widget One", "https://github.com/o/widget").copy(
-    version = Some("1.2.0"),
-    release = Some("https://github.com/o/widget/releases/tag/v1.2.0"),
-    license_spdx = Some("GPL-3.0-or-later"),
-    licensor = Seq(AgentRow(Some("Ada L"), Some("ada@x.org"), None, None, false)),
-    organization = Seq(AgentRow(Some("Widget Org"), None,
-      Some("https://widgets.example.org"), None, true)),
-    readme = Seq(FileRef.url("https://github.com/o/widget/raw/HEAD/README.md")),
-    image = Seq(ImageRef(Some("front"), None, Some("https://x/front.png"), None,
-      None, slots = Seq("icon-main"), tags = Seq("photo", "color"),
-      depicts = Seq("the widget from the front"))),
-    documentation_language = Seq("en", "de"),
-    trl = Some("OTRL-4"), drl = Some("ODRL-3*"),
-    attestation = Seq("https://certifier.example.org/widget"),
-    publication = Seq("10.1000/xyz123", "https://journal.example.org/widget"),
-    function = Some("Widgets things."),
-    standard_compliance = Seq("DIN EN 1335"),
-    cpc_patent_class = Some("B25J9/00"),
-    tsdc = Some("MEC"),
-    bom = Seq(FileRef.url("https://github.com/o/widget/raw/HEAD/bom.csv")),
-    manufacturing_instructions = Seq(FileRef.url("https://x/build.md")),
-    user_manual = Seq(FileRef.url("https://x/manual.pdf")),
-    mass = Some(1.2),
-    outer_dimensions = Some(OuterDims(Some(40.0), Some(20.0), Some(10.0))),
-    part = Seq(PartRow("frame", Some("frame"),
-      image = Seq(ImageRef(None, None, Some("https://x/frame.jpg"), None, None,
-        Seq.empty, Seq("photo"), Seq.empty)),
-      source = Seq(FileRef.url("https://x/frame.scad")),
-      export = Seq(FileRef.url("https://x/frame.stl")),
-      auxiliary = Seq.empty, material = Some("PLA"),
-      manufacturing_instructions = Seq.empty, mass = Some(0.3),
-      outer_dimensions = Some(OuterDims(Some(10.0), Some(10.0), Some(2.0))),
-      tsdc = Some("3DP"))),
-    software = Seq(SoftwareRow("v2.1", None, Seq("en"), Some("MIT"),
-      Seq(AgentRow(Some("Ada L"), None, None, None, false)), Seq.empty)),
-    source = Seq(FileRef.url("https://x/main.scad")),
-    export = Seq(FileRef.url("https://x/main.stl")),
-    normalized_toml = Some("name = \"Widget One\"\n"))
-
-  private def fixtureMeta: CrawlMeta = CrawlMeta(
-    hosting_id = "github.com", sourcing_procedure = "manifest",
-    manifest_url = Some("https://github.com/o/widget/raw/HEAD/okh.toml"),
-    okhv_fetched = Some("OKH-LOSHv1.0"),
-    created_at = Some("2020-01-01T00:00:00"),
-    first_visited = Some("2021-01-01T00:00:00"),
-    last_visited = Some("2021-03-01T00:00:00"),
-    last_successfully_visited = Some("2021-03-01T00:00:00"),
-    last_detected_change = Some("2021-02-01T00:00:00"),
-    visits = 3L, changes = 1L)
+  import RdfFixtures.{fixtureMeta, fixtureProject, fixtureWithToml}
 
   test("C24 three graphs: per-graph content parity with rdf_serializer.py:806-869") {
-    val g = RdfSerializer.makeGraphs(fixtureProject, fixtureMeta)
+    val g = RdfSerializer.makeGraphs(fixtureWithToml, fixtureMeta)
     // project namespace: version + path__ (rdf_serializer.py:207-235)
     assert(g.data.base == "https://github.com/1.2.0/o__widget/")
 
-    // toml graph: exactly the deflate+base64 normalized manifest
+    // toml graph: exactly the deflate+base64 normalized-project TOML
+    // (toml_serializer.py:88-110 → rdf_serializer.py:827-832)
     assert(g.toml.triples.size == 1)
     val packed = g.toml.triples.head.o.stripPrefix("\"").stripSuffix("\"")
-    assert(graft.functions.ScalarFunctions.inflateB64(packed) == "name = \"Widget One\"\n")
+    assert(graft.functions.ScalarFunctions.inflateB64(packed) ==
+      Serializers.projectToToml(fixtureProject))
     assert(g.toml.triples.head.p == "okh:normalizedManifestContent")
 
     val meta = g.meta.triples
@@ -211,7 +163,9 @@ class SerializersSpec extends SparkTestBase {
     assert(dHas(":projectImage1", "a", "okh:Image"))
     assert(dHas(":projectImage1", "okh:fillsSlot", "okhimg:slotIconMain"))
     assert(dHas(":projectImage1", "okh:hasTag", "okhimg:tagPhoto"))
-    assert(dHas(":projectImage1", "okh:depicts", "\"the widget from the front\""))
+    // depicts is a LANGUAGE-TAGGED literal (LangStr, language_string.py:
+    // 12-20; rdf_serializer.py:292-299 Literal(text, lang))
+    assert(dHas(":projectImage1", "okh:depicts", "\"the widget from the front\"@en"))
     // part triples (rdf_serializer.py:418-433)
     assert(dHas(":frame", "a", "okh:Part"))
     assert(dHas(":project", "okh:hasComponent", ":frame"))
@@ -224,6 +178,48 @@ class SerializersSpec extends SparkTestBase {
     // part doc language falls back to the module's (rdf_serializer.py:349-358)
     assert(dHas(":frame", "okh:documentationLanguage", "\"en\""))
     assert(dHas(":project", "ods:hasSource", ":projectDataSetSource"))
+  }
+
+  test("C23 projectToToml: manifest-shaped keys, empty-strip, nested inline " +
+      "tables, \\b hack (toml_serializer.py:88-110)") {
+    val toml = Serializers.projectToToml(fixtureProject)
+    // dataclass field names as keys, scalars before tables
+    assert(toml.contains("name = \"Widget One\""))
+    assert(toml.contains("license = \"GPL-3.0-or-later\""))
+    assert(toml.contains("technology_readiness_level = \"OTRL-4\""))
+    assert(toml.contains("documentation_language = [\"en\", \"de\"]"))
+    // empty/None fields stripped (no release-less keys, no nulls)
+    assert(!toml.contains("null") && !toml.contains("auxiliary"))
+    // list-of-struct fields as [[table]] sections with nested inline tables
+    assert(toml.contains("[[part]]"))
+    assert(toml.contains("name_clean = \"frame\""))
+    assert(toml.contains("outer_dimensions = { depth = 2.0, height = 10.0, width = 10.0 }"))
+    assert(toml.contains("[[licensor]]") && toml.contains("email = \"ada@x.org\""))
+    assert(toml.contains("[[software]]") && toml.contains("release = \"v2.1\""))
+    // depicts carries the language tag struct
+    assert(toml.contains("depicts = [{ language = \"en\", text = \"the widget from the front\" }]"))
+    // emitted TOML round-trips through our own parser
+    val back = graft.formats.Toml.parse(toml)
+    assert(back.str("name") == "Widget One")
+    assert(back.arr("part").length == 1)
+    // thingiverse-682052 hack: \b-prefixed function drops the control char
+    val hacked = Serializers.projectToToml(
+      fixtureProject.copy(function = Some("\bBell char")))
+    assert(hacked.contains("function = \"Bell char\""))
+  }
+
+  test("C24+C23 byte-goldens: all three graphs + the normalized TOML of the " +
+      "maximal fixture match the checked-in goldens exactly (VERDICT r2 #9)") {
+    def golden(name: String): String = {
+      val in = getClass.getResourceAsStream(s"/goldens/$name")
+      assert(in != null, s"missing golden $name — run Test/runMain graft.serialize.RdfGoldenGen")
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val docs = RdfFixtures.goldenDocs
+    assert(RdfFixtures.goldenToml == golden("widget.normalized.toml"))
+    assert(docs.normalized_okh_toml_ttl == golden("widget.normalized.okh_toml.ttl"))
+    assert(docs.meta_ttl == golden("widget.meta.ttl"))
+    assert(docs.data_okh_ttl == golden("widget.data.okh.ttl"))
   }
 
   test("isSpdxId: digit-less ids from the shipped dimension are resources, " +
