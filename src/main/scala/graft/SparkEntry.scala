@@ -342,10 +342,12 @@ object SparkEntry {
          |  SELECT unit_path, hosting_id, min(seq) AS first_seq
          |  FROM canon GROUP BY unit_path, hosting_id),
          |seen AS (
-         |  SELECT CASE p_partkey % 3
+         |  SELECT CASE p_partkey % 5
          |      WHEN 0 THEN 'thingiverse.com/' || CAST(p_partkey // 10000 AS VARCHAR) || '/' || p_partkey
          |      WHEN 1 THEN 'github.com/owner' || (p_partkey % 10) || '/repo' || p_partkey || '/main/okh.toml'
-         |      ELSE 'oshwa.org/' || printf('us%06d', p_partkey)
+         |      WHEN 2 THEN 'oshwa.org/' || printf('us%06d', p_partkey)
+         |      WHEN 3 THEN 'gitlab.com/group' || (p_partkey % 4) || '/proj' || p_partkey || '/main/okh.toml'
+         |      ELSE 'codeberg.org/org' || (p_partkey % 3) || '/unit' || p_partkey || '/main/okh.toml'
          |    END AS unit_path
          |  FROM part WHERE p_partkey % 7 = 0)
          |SELECT d.unit_path, d.hosting_id, d.first_seq FROM deduped d
@@ -381,7 +383,9 @@ object SparkEntry {
          |rules(r_hosting_id, path_prefix) AS (VALUES
          |  ('github.com', 'github.com/owner3/'),
          |  ('thingiverse.com', 'thingiverse.com/0/9'),
-         |  ('oshwa.org', 'oshwa.org/us0001'))
+         |  ('oshwa.org', 'oshwa.org/us0001'),
+         |  ('gitlab.com', 'gitlab.com/group1/'),
+         |  ('codeberg.org', 'codeberg.org/org2/'))
          |SELECT d.unit_path, d.hosting_id, d.first_seq FROM deduped d
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM rules r
@@ -750,6 +754,21 @@ object SparkEntry {
         |JOIN sizes sa ON i.doc_a = sa.doc_id
         |JOIN sizes sb ON i.doc_b = sb.doc_id
         |WHERE floor(i.inter * 1000.0 / (sa.n_shingles + sb.n_shingles - i.inter)) >= 100""".stripMargin,
+    // closed-form expectation of the thingiverse normalizer over the same
+    // deterministic hit JSON: license CASE map, strip_html on the
+    // description, fixed trl/drl constants (thingiverse.py:62-90,120-155)
+    "q_normalize_thingiverse" ->
+      """SELECT
+        |  'thingiverse.com/' || CAST(p_partkey // 10000 AS VARCHAR) || '/' || p_partkey AS project_id,
+        |  p_name AS name,
+        |  'https://www.thingiverse.com/thing:' || p_partkey AS repo,
+        |  '2020-01-02T03:04:05+00:00' AS version,
+        |  CASE p_partkey % 3 WHEN 0 THEN 'CC-BY-4.0'
+        |       WHEN 1 THEN 'GPL-3.0-or-later' ELSE NULL END AS license_spdx,
+        |  'A ' || p_brand || ' part.' || chr(10) || 'Nice.' AS "function",
+        |  'OTRL-4' AS trl,
+        |  'ODRL-3' AS drl
+        |FROM part""".stripMargin,
     "q_normalize_manifest" ->
       """SELECT
         |  'https://github.com/owner' || (p_partkey % 7) || '/repo' || p_partkey AS project_id,

@@ -144,17 +144,26 @@ object CrawlOps {
     * Bloom-positive candidates.
     */
   def urlSeenAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    // seen = every 7th unit, in the SAME canonical shapes the seed family
+    // produces (so the anti-join actually excludes frontier units)
     val seen = spark.read.parquet(s"$sfDir/part.parquet")
       .filter(pmod(col("p_partkey"), lit(7)) === 0)
       .select(col("p_partkey").as("k"))
       .withColumn("unit_path",
-        when(pmod(col("k"), lit(3)) === 0,
+        when(pmod(col("k"), lit(5)) === 0,
           concat(lit("thingiverse.com/"), (col("k") / 10000).cast("long").cast("string"),
             lit("/"), col("k").cast("string")))
-          .when(pmod(col("k"), lit(3)) === 1,
+          .when(pmod(col("k"), lit(5)) === 1,
             concat(lit("github.com/owner"), pmod(col("k"), lit(10)).cast("string"),
               lit("/repo"), col("k").cast("string"), lit("/main/okh.toml")))
-          .otherwise(concat(lit("oshwa.org/"), format_string("us%06d", col("k")))))
+          .when(pmod(col("k"), lit(5)) === 2,
+            concat(lit("oshwa.org/"), format_string("us%06d", col("k"))))
+          .when(pmod(col("k"), lit(5)) === 3,
+            concat(lit("gitlab.com/group"), pmod(col("k"), lit(4)).cast("string"),
+              lit("/proj"), col("k").cast("string"), lit("/main/okh.toml")))
+          .otherwise(
+            concat(lit("codeberg.org/org"), pmod(col("k"), lit(3)).cast("string"),
+              lit("/unit"), col("k").cast("string"), lit("/main/okh.toml"))))
       .select("unit_path")
     frontierDedup(spark, sfDir)
       .join(seen, Seq("unit_path"), "left_anti")
@@ -168,7 +177,9 @@ object CrawlOps {
   val robotsRules: Seq[(String, String)] = Seq(
     ("github.com", "github.com/owner3/"),
     ("thingiverse.com", "thingiverse.com/0/9"),
-    ("oshwa.org", "oshwa.org/us0001")
+    ("oshwa.org", "oshwa.org/us0001"),
+    ("gitlab.com", "gitlab.com/group1/"),
+    ("codeberg.org", "codeberg.org/org2/")
   )
 
   def robotsGate(spark: SparkSession, sfDir: String): DataFrame = {

@@ -17,22 +17,22 @@ class KrawlSpec extends SparkTestBase {
     val storeDir = Files.createTempDirectory("graft-krawl-store").toString
     SyntheticStore.ensureOnDisk(spark, storeDir, 60)
     val root = Files.createTempDirectory("graft-krawl-tables").toString
-    // ids 5 and 10 are thingiverse-family (5%5==0, 10%5==0)
+    // ids 7 and 14 are thingiverse-family (7%7==0, 14%7==0)
     val report = Krawl.fetchUrls(spark, Seq(
-      "https://www.thingiverse.com/thing:5",
-      "https://www.thingiverse.com/thing:10",
+      "https://www.thingiverse.com/thing:7",
+      "https://www.thingiverse.com/thing:14",
       "https://www.thingiverse.com/thing:99999", // not in store
       "https://example.com/nope", // unknown platform
       "garbage"), storeDir, root)
       .collect().map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
-    assert(report("https://www.thingiverse.com/thing:5") == "ok")
-    assert(report("https://www.thingiverse.com/thing:10") == "ok")
+    assert(report("https://www.thingiverse.com/thing:7") == "ok")
+    assert(report("https://www.thingiverse.com/thing:14") == "ok")
     assert(report("https://www.thingiverse.com/thing:99999") == "not_in_store")
     assert(report("https://example.com/nope").startsWith("parse_error"))
     assert(report("garbage").startsWith("parse_error"))
     val seen = graft.pipeline.CrawlPipeline.urlSeenStore(root).read(spark).get
       .select("unit_path").as[String].collect().toSet
-    assert(seen == Set("thingiverse.com/0/5", "thingiverse.com/0/10"))
+    assert(seen == Set("thingiverse.com/0/7", "thingiverse.com/0/14"))
   }
 
   test("convert: manifest → normalized → TOML + canonical JSON emissions (§3.3)") {
