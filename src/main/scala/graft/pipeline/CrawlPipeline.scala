@@ -49,24 +49,80 @@ object CrawlPipeline {
     * data-set metadata as canonical JSON plus the original payload bytes.
     */
   def rawStore(tableRoot: String) = new SnapshotStore(s"$tableRoot/raw")
+  /** Resolved-summary twin of the url_seen event log: ONE row per unit
+    * (`bucket, unit_path, perm, n_err`) folded from all events up to the
+    * `covered_version` metric. The sustained-10^10 maintenance path: the
+    * per-run exclusion aggregate reads this summary plus only the DELTA
+    * events (`run_seq > covered_version`), so exclusion cost stays
+    * proportional to candidates + recent activity instead of re-aggregating
+    * the full attempt history every run.
+    */
+  def urlSeenSummaryStore(tableRoot: String) =
+    new SnapshotStore(s"$tableRoot/url_seen_summary")
 
-  /** Seed URL per store id: four platform families by id residue — the
+  /** Per-unit resolution counters from an event-log slice: `perm` = unit has
+    * a permanent outcome, `n_err` = retryable-error attempts. The SAME fold
+    * whether it runs over raw events (compaction, first runs) or over
+    * summary ∪ delta rows (`perm`/`n_err` re-aggregate associatively:
+    * max-of-max, sum-of-sum).
+    */
+  private def foldResolution(events: DataFrame): DataFrame =
+    events.groupBy("unit_path").agg(
+      max(when(col("status").isin("ok", "not_found", "robots_denied"), 1)
+        .otherwise(0)).as("perm"),
+      sum(when(col("status") === "error", 1L).otherwise(0L)).as("n_err"))
+
+  /** Periodic compaction job (run between crawls, like Iceberg table
+    * maintenance): fold the whole url_seen event log into the resolved
+    * summary, stamped with the url_seen version it covers. Each compaction
+    * REPLACES the summary (truncate + append — the summary is derived state;
+    * the event log stays the source of truth for CrawlingMeta history).
+    * Crash-safe: a crash before the new summary commits leaves the old
+    * covered_version in place and the per-run delta simply stays larger.
+    */
+  def compactUrlSeen(spark: SparkSession, tableRoot: String): Option[Long] = {
+    val seen = urlSeenStore(tableRoot)
+    for {
+      coveredVersion <- seen.currentVersion
+      events <- seen.read(spark)
+    } yield {
+      // bucket rides through the fold (it is a pure function of unit_path,
+      // so grouping by both adds no keys) and drives the partition layout
+      val summary = events.groupBy("bucket", "unit_path").agg(
+        max(when(col("status").isin("ok", "not_found", "robots_denied"), 1)
+          .otherwise(0)).as("perm"),
+        sum(when(col("status") === "error", 1L).otherwise(0L)).as("n_err"))
+      val store = urlSeenSummaryStore(tableRoot)
+      store.truncate()
+      store.append(spark, summary, "bucket",
+        Map("covered_version" -> coveredVersion), clusterBeforeWrite = true)
+      coveredVersion
+    }
+  }
+
+  /** Seed URL per store id: all SIX platform families by id residue — the
     * multi-host seed list whose cross-host interleaving the golden crawl
     * order (priority, seq) defines. Pure function, shared with the spec's
-    * golden expectations.
+    * golden expectations. The gitlab/codeberg forge families exercise the
+    * forge URL parser's `-/blob` and `raw` branches e2e
+    * (hosting_unit_forge.py:74-149 parity).
     */
-  def seedUrl(id: Long): String = (id % 5) match {
-    case 1 => s"https://github.com/owner${id % 7}/repo$id/blob/main/okh.toml"
+  def seedUrl(id: Long): String = (id % 7) match {
+    case 1 => s"https://github.com/owner${id % 10}/repo$id/blob/main/okh.toml"
     case 2 => f"https://certification.oshwa.org/us$id%06d.html"
     case 3 => s"https://www.appropedia.org/Project_$id"
-    case _ => s"https://www.thingiverse.com/thing:$id"
+    case 5 => s"https://gitlab.com/group${id % 3}/proj$id/-/blob/main/okh.toml"
+    case 6 => s"https://codeberg.org/org${id % 4}/unit$id/raw/main/okh.toml"
+    case _ => s"https://www.thingiverse.com/thing:$id" // 0, 4
   }
 
   /** Canonical unit path each seed resolves to (golden expectation). */
-  def expectedUnitPath(id: Long): String = (id % 5) match {
-    case 1 => s"github.com/owner${id % 7}/repo$id/main/okh.toml"
+  def expectedUnitPath(id: Long): String = (id % 7) match {
+    case 1 => s"github.com/owner${id % 10}/repo$id/main/okh.toml"
     case 2 => f"oshwa.org/us$id%06d"
     case 3 => s"appropedia.org/Project_$id"
+    case 5 => s"gitlab.com/group${id % 3}/proj$id/main/okh.toml"
+    case 6 => s"codeberg.org/org${id % 4}/unit$id/main/okh.toml"
     case _ => SyntheticStore.unitPath(id)
   }
 
@@ -75,14 +131,18 @@ object CrawlPipeline {
     * Semantics identical to `seedUrl(id)`; PlanSpec asserts parity.
     */
   def seedUrlCol(id: Column): Column = {
-    val m = pmod(id, lit(5L))
-    when(m === 1, concat(lit("https://github.com/owner"), pmod(id, lit(7L)),
+    val m = pmod(id, lit(7L))
+    when(m === 1, concat(lit("https://github.com/owner"), pmod(id, lit(10L)),
         lit("/repo"), id, lit("/blob/main/okh.toml")))
       // format_string pads WITHOUT truncating (lpad would silently truncate
       // ids past 6 digits — exact parity with the f"us$id%06d" driver form)
       .when(m === 2, concat(lit("https://certification.oshwa.org/"),
         format_string("us%06d", id), lit(".html")))
       .when(m === 3, concat(lit("https://www.appropedia.org/Project_"), id))
+      .when(m === 5, concat(lit("https://gitlab.com/group"), pmod(id, lit(3L)),
+        lit("/proj"), id, lit("/-/blob/main/okh.toml")))
+      .when(m === 6, concat(lit("https://codeberg.org/org"), pmod(id, lit(4L)),
+        lit("/unit"), id, lit("/raw/main/okh.toml")))
       .otherwise(concat(lit("https://www.thingiverse.com/thing:"), id))
   }
 
@@ -288,16 +348,31 @@ object CrawlPipeline {
         // the resolved-set aggregation runs over ONLY the Bloom-positive
         // candidates' events (semi-join first): without it, every run would
         // aggregate the FULL event log even when the candidate set is tiny.
-        // (At sustained 10^10 scale the maintenance path is periodic
-        // compaction of events into a resolved summary table — the
-        // semi-join keeps the per-run cost proportional to candidates
-        // until then.)
-        val resolved = seenDf
-          .join(maybeSeen.select("unit_path").distinct(), Seq("unit_path"), "left_semi")
-          .groupBy("unit_path").agg(
-            max(when(col("status").isin("ok", "not_found", "robots_denied"), 1)
-              .otherwise(0)).as("perm"),
-            sum(when(col("status") === "error", 1L).otherwise(0L)).as("n_err"))
+        // Summary-first (the sustained-10^10 maintenance path): when a
+        // compacted summary exists, the aggregate folds the summary row plus
+        // only the events NEWER than its covered version — per-run cost is
+        // proportional to candidates + activity since the last compaction,
+        // never the full attempt history.
+        val candSet = maybeSeen.select("unit_path").distinct()
+        val summaryState = for {
+          snap <- urlSeenSummaryStore(tableRoot).currentSnapshot
+          covered <- snap.metrics.get("covered_version")
+          df <- urlSeenSummaryStore(tableRoot).read(spark)
+        } yield (df, covered)
+        val perUnit = summaryState match {
+          case None =>
+            foldResolution(seenDf.join(candSet, Seq("unit_path"), "left_semi"))
+          case Some((summaryDf, covered)) =>
+            val base = summaryDf.select("unit_path", "perm", "n_err")
+              .join(candSet, Seq("unit_path"), "left_semi")
+            val delta = foldResolution(seenDf
+              .filter(col("run_seq") > covered)
+              .join(candSet, Seq("unit_path"), "left_semi"))
+            // perm re-aggregates as max-of-max, n_err as sum-of-sum
+            base.unionByName(delta).groupBy("unit_path")
+              .agg(max("perm").as("perm"), sum("n_err").as("n_err"))
+        }
+        val resolved = perUnit
           .filter(col("perm") === 1 || col("n_err") >= MaxErrorRetries)
           .select("unit_path")
         val definitelyNew = routed.filter(!might)
@@ -485,12 +560,16 @@ object CrawlPipeline {
     * `limit`-sized slices per run. Returns the per-run summaries.
     */
   def runUntilDone(spark: SparkSession, storeDir: String, tableRoot: String,
-      limit: Long): Seq[RunSummary] = {
+      limit: Long, compactEvery: Int = 0): Seq[RunSummary] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[RunSummary]
     var keepGoing = true
     while (keepGoing) {
       val s = run(spark, storeDir, tableRoot, Some(limit))
       out += s
+      // periodic table maintenance: fold the event log into the resolved
+      // summary every `compactEvery` runs (0 = never)
+      if (compactEvery > 0 && out.size % compactEvery == 0)
+        compactUrlSeen(spark, tableRoot)
       // retryable errors leave the frontier after MaxErrorRetries recorded
       // attempts, so an empty slice (attempted == 0) means true exhaustion —
       // slices always advance into fresh frontier instead of re-fetching

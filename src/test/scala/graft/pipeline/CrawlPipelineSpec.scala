@@ -36,9 +36,10 @@ class CrawlPipelineSpec extends SparkTestBase {
     // statuses partition correctly
     assert(s.robotsDenied == (1L to N).count(_ % 103 == 0))
     assert(s.notFound == (1L to N).count(id => id % 103 != 0 && id % 101 == 0))
-    // all four platform families present
+    // all six platform families present (incl. the gitlab/codeberg forges)
     val hosts = seen.select("hosting_id").distinct().as[String].collect().toSet
-    assert(hosts == Set("thingiverse.com", "github.com", "oshwa.org", "appropedia.org"))
+    assert(hosts == Set("thingiverse.com", "github.com", "oshwa.org",
+      "appropedia.org", "gitlab.com", "codeberg.org"))
   }
 
   test("politeness budget per host: starts >= that host's interval apart, order = (priority, seq)") {
@@ -46,7 +47,8 @@ class CrawlPipelineSpec extends SparkTestBase {
     CrawlPipeline.run(spark, storeDir, root)
     val fullLog = CrawlPipeline.fetchLogStore(root).read(spark).get.collect()
     val intervals = Map("thingiverse.com" -> 1000L, "appropedia.org" -> 1000L,
-      "github.com" -> 5000L, "oshwa.org" -> 5000L)
+      "github.com" -> 5000L, "oshwa.org" -> 5000L,
+      "gitlab.com" -> 5000L, "codeberg.org" -> 5000L)
     for ((host, rows) <- fullLog.groupBy(_.getAs[String]("hosting_id"))) {
       val ordered = rows.sortBy(_.getAs[Long]("pos"))
       // pos follows (priority, seq) within the host
@@ -135,6 +137,65 @@ class CrawlPipelineSpec extends SparkTestBase {
     assert(okDups == 0, "duplicate ok rows in fetch_log after crash+resume")
   }
 
+  test("url_seen compaction: summary-first exclusion ≡ raw event-log fold " +
+      "(both the summary-only and summary+delta merge paths)") {
+    // big store so the never-succeeding error class (997) exists → the
+    // n_err side of the merge (sum-of-sum) is exercised, not just perm
+    val bigStore = Files.createTempDirectory("graft-store-cmp").toString
+    SyntheticStore.ensureOnDisk(spark, bigStore, 1200L)
+    val rootA = freshRoot(); val rootB = freshRoot(); val rootC = freshRoot()
+    // A: control, never compacted
+    val sumA = CrawlPipeline.runUntilDone(spark, bigStore, rootA, 500L)
+    // B: compacted after EVERY run → each run's exclusion reads the summary
+    // with an empty delta
+    val sumB = CrawlPipeline.runUntilDone(spark, bigStore, rootB, 500L, compactEvery = 1)
+    // C: compacted ONCE after the first slice → later runs merge the stale
+    // summary with a growing event delta (run_seq > covered_version)
+    CrawlPipeline.run(spark, bigStore, rootC, Some(500L))
+    assert(CrawlPipeline.compactUrlSeen(spark, rootC).contains(0L))
+    val sumC = CrawlPipeline.runUntilDone(spark, bigStore, rootC, 500L)
+    // identical slice progression and identical final state on all paths
+    assert(sumA.map(s => (s.attempted, s.ok, s.error)) ==
+      sumB.map(s => (s.attempted, s.ok, s.error)))
+    assert(sumA.map(s => (s.attempted, s.ok, s.error)).drop(1) ==
+      sumC.map(s => (s.attempted, s.ok, s.error)))
+    def seenEvents(root: String) =
+      CrawlPipeline.urlSeenStore(root).read(spark).get
+        .select("unit_path", "status", "run_seq").as[(String, String, Long)]
+        .collect().toSet
+    assert(seenEvents(rootA) == seenEvents(rootB))
+    assert(seenEvents(rootA) == seenEvents(rootC))
+    // the compacted summary is one row per unit and its resolved set equals
+    // the fold over the raw event log
+    CrawlPipeline.compactUrlSeen(spark, rootA)
+    val summary = CrawlPipeline.urlSeenSummaryStore(rootA).read(spark).get.cache()
+    val units = summary.select("unit_path").as[String].collect()
+    assert(units.length == units.distinct.length, "summary must be one row per unit")
+    val resolvedFromSummary = summary
+      .filter(col("perm") === 1 || col("n_err") >= CrawlPipeline.MaxErrorRetries)
+      .select("unit_path").as[String].collect().toSet
+    val resolvedFromEvents = CrawlPipeline.urlSeenStore(rootA).read(spark).get
+      .groupBy("unit_path").agg(
+        max(when(col("status").isin("ok", "not_found", "robots_denied"), 1)
+          .otherwise(0)).as("perm"),
+        sum(when(col("status") === "error", 1L).otherwise(0L)).as("n_err"))
+      .filter(col("perm") === 1 || col("n_err") >= CrawlPipeline.MaxErrorRetries)
+      .select("unit_path").as[String].collect().toSet
+    assert(resolvedFromSummary == resolvedFromEvents)
+    // error units accumulated exactly MaxErrorRetries attempts on the
+    // compacted path too (the n_err merge did not over- or under-count)
+    val errUnits = (1L to 1200L).filter(id => id % 997 == 0 && id % 103 != 0)
+      .map(CrawlPipeline.expectedUnitPath).toSet
+    assert(errUnits.nonEmpty)
+    val errCounts = summary.filter(col("unit_path").isin(errUnits.toSeq: _*))
+      .select("n_err").as[Long].collect()
+    assert(errCounts.nonEmpty &&
+      errCounts.forall(_ == CrawlPipeline.MaxErrorRetries.toLong))
+    summary.unpersist()
+    // a resume run on the compacted root attempts nothing (exhausted)
+    assert(CrawlPipeline.run(spark, bigStore, rootB, Some(500L)).attempted == 0)
+  }
+
   test("resume does not refetch: second run after completion attempts only retryable errors") {
     val root = freshRoot()
     CrawlPipeline.run(spark, storeDir, root)
@@ -177,7 +238,7 @@ class CrawlPipelineSpec extends SparkTestBase {
     assert(projects.columns.toSet == Set("project_id",
       "normalized_okh_toml_ttl", "meta_ttl", "data_okh_ttl", "id_group"))
 
-    // unit 4: thingiverse (4%5), one part (4%3=1), license MIT (4%4=0),
+    // unit 4: thingiverse (4%7), one part (4%3=1), license MIT (4%4=0),
     // doc language ["en"] (even) — a fully-populated fixture manifest
     val unitId = 4L
     val richRow = projects
@@ -331,9 +392,9 @@ class CrawlPipelineSpec extends SparkTestBase {
       CrawlPipeline.frontier(spark, storeDir), robots)
     val denied = f.filter(col("robots_denied"))
       .select("unit_path").as[String].collect().toSet
-    val expectedTv = (1L to N).filter(id => (id % 5 == 0 || id % 5 == 4)
+    val expectedTv = (1L to N).filter(id => (id % 7 == 0 || id % 7 == 4)
       && id.toString.startsWith("1")).map(CrawlPipeline.expectedUnitPath).toSet
-    val expectedOshwa = (1L to N).filter(_ % 5 == 2)
+    val expectedOshwa = (1L to N).filter(_ % 7 == 2)
       .map(CrawlPipeline.expectedUnitPath).toSet
     assert(denied == expectedTv ++ expectedOshwa, s"denied mismatch: $denied")
   }
@@ -375,10 +436,11 @@ class CrawlPipelineSpec extends SparkTestBase {
       assert(byPos.sameElements(byPos.sorted), s"$host crawl order must be ascending id")
     }
     // the global golden order is reconstructible from data columns alone:
-    // sorting by (priority, seq) yields appropedia < github < oshwa < thingiverse
+    // sorting by (priority, seq) yields the six families in registry order
     val global = log.sortBy(r => (r.getAs[Int]("priority"), r.getAs[Long]("seq")))
     val hostsInOrder = global.map(_.getAs[String]("hosting_id")).distinct
     assert(hostsInOrder.toSeq ==
-      Seq("appropedia.org", "github.com", "oshwa.org", "thingiverse.com"))
+      Seq("appropedia.org", "github.com", "oshwa.org", "thingiverse.com",
+        "gitlab.com", "codeberg.org"))
   }
 }
