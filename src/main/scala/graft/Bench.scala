@@ -69,8 +69,11 @@ object Bench {
     val scale4N = scaleN * 4
 
     // ---- query suite at the requested parallelism ----
+    // SPARK_GRAFT_BENCH_ONLY=crawl skips the query suite (fast iteration on
+    // the scaling section while profiling the crawl path)
+    val crawlOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("crawl")
     var spark = session(cpus)
-    val timings = headline.map { name =>
+    val timings = if (crawlOnly) Seq.empty else headline.map { name =>
       val fn = SparkEntry.queries(name)
       exec(fn(spark, sfDir)) // warmup: JIT + reader metadata + codegen cache
       val sec = time(exec(fn(spark, sfDir)))
