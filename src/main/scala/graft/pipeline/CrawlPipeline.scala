@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.fetch.FetchStage
 import graft.fixtures.SyntheticStore
-import graft.frontier.BloomSeen
 import graft.functions.{ImageFunctions, TextNormalize, UrlFunctions}
 import graft.tables.SnapshotStore
 
@@ -306,12 +305,17 @@ object CrawlPipeline {
       rawSink: Boolean = false, // S9: emit meta-json + original payload bytes
       revisit: Boolean = false, // re-crawl resolved units (change detection)
       robotsTxt: Map[String, String] = Map.empty, // real per-host robots.txt
-      crashBeforeSeenCommit: Boolean = false // test hook: injected crash
+      crashBeforeSeenCommit: Boolean = false, // test hook: injected crash
+      // URL-seen sketch kind (north rule: "Bloom/cuckoo"): bloom is the
+      // default; cuckoo adds targeted invalidation (CuckooSeen.removeKeys).
+      // Each kind owns its directory, so switching kinds on an existing
+      // table root just builds the new kind fresh.
+      seenFilters: graft.frontier.SeenFilterStore = graft.frontier.SeenFilters.bloom
       ): RunSummary = {
     import spark.implicits._
 
     val seen = urlSeenStore(tableRoot)
-    val bloomDir = s"$tableRoot/bloom"
+    val bloomDir = s"$tableRoot/${seenFilters.dirName}"
     val fullFrontier = robotsAllowed(frontier(spark, storeDir), robotsTxt)
 
     // URL-seen anti-join with per-bucket Bloom pre-filter (no false
@@ -330,10 +334,10 @@ object CrawlPipeline {
     // permanently hide keys lost to a crash → Bloom false negatives)
     seenOpt.foreach { seenDf =>
       val curV = seen.currentVersion.get
-      if (!BloomSeen.filtersVersion(bloomDir).contains(curV)) {
+      if (!seenFilters.filtersVersion(bloomDir).contains(curV)) {
         // crash between url_seen commit and filter update (or first read
         // of a pre-existing table): rebuild so filters can't be stale
-        BloomSeen.rebuildBucketFilters(spark,
+        seenFilters.rebuild(spark,
           seenDf.select(col("bucket"), col("url_hash")),
           "bucket", "url_hash", bloomDir, curV)
       }
@@ -343,7 +347,7 @@ object CrawlPipeline {
       case None => fullFrontier
       case Some(seenDf) =>
         val routed = fullFrontier.repartition(NBuckets, col("bucket"))
-        val might = BloomSeen.fileBucketPredicate(bloomDir)
+        val might = seenFilters.predicate(bloomDir)
         val maybeSeen = routed.filter(might)
         // the resolved-set aggregation runs over ONLY the Bloom-positive
         // candidates' events (semi-join first): without it, every run would
@@ -536,7 +540,7 @@ object CrawlPipeline {
       "bucket", statusCounts, clusterBeforeWrite = true))
     // merge this run's keys into the per-bucket Bloom files and stamp the
     // covered url_seen version (a crash before the stamp → rebuild next run)
-    timed("bloom update")(BloomSeen.updateBucketFilters(spark,
+    timed("bloom update")(seenFilters.update(spark,
       seenRows.select(col("bucket"), col("url_hash")),
       "bucket", "url_hash", bloomDir, snap.version))
 

@@ -196,6 +196,38 @@ class CrawlPipelineSpec extends SparkTestBase {
     assert(CrawlPipeline.run(spark, bigStore, rootB, Some(500L)).attempted == 0)
   }
 
+  test("cuckoo seen-filter kind: e2e state identical to bloom; targeted " +
+      "invalidation re-fetches exactly the invalidated units") {
+    import graft.frontier.{CuckooSeen, SeenFilters}
+    val rootA = freshRoot(); val rootB = freshRoot()
+    CrawlPipeline.run(spark, storeDir, rootA) // bloom (default)
+    CrawlPipeline.run(spark, storeDir, rootB, seenFilters = SeenFilters.cuckoo)
+    def seenSet(root: String) =
+      CrawlPipeline.urlSeenStore(root).read(spark).get
+        .select("unit_path", "status").as[(String, String)].collect().toSet
+    assert(seenSet(rootA) == seenSet(rootB))
+    // resume semantics hold under the cuckoo prefilter too
+    val s2 = CrawlPipeline.run(spark, storeDir, rootB, seenFilters = SeenFilters.cuckoo)
+    assert(s2.ok == 0 && s2.resultRows == 0)
+
+    // targeted invalidation (the Bloom-impossible op): delete 10 resolved
+    // ok units from the sketch → the next run re-fetches exactly those
+    val invalidIds = (1L to N).filter(id =>
+      id % 103 != 0 && id % 101 != 0 && id % 997 != 0 && id % 97 != 0).take(10)
+    val paths = invalidIds.map(CrawlPipeline.expectedUnitPath)
+    val keys = CrawlPipeline.urlSeenStore(rootB).read(spark).get
+      .filter(col("unit_path").isin(paths: _*))
+      .select("bucket", "url_hash").distinct()
+    CuckooSeen.removeKeys(spark, keys, "bucket", "url_hash", s"$rootB/cuckoo")
+    val s3 = CrawlPipeline.run(spark, storeDir, rootB, seenFilters = SeenFilters.cuckoo)
+    assert(s3.ok == 10L, s"invalidation re-fetched ${s3.ok}, expected 10")
+    // the re-visits are recorded as new events (visits=2, no change)
+    val meta = CrawlPipeline.crawlingMeta(spark, rootB).get
+      .filter(col("unit_path").isin(paths: _*)).collect()
+    assert(meta.length == 10)
+    meta.foreach(r => assert(r.getAs[Long]("visits") == 2L))
+  }
+
   test("resume does not refetch: second run after completion attempts only retryable errors") {
     val root = freshRoot()
     CrawlPipeline.run(spark, storeDir, root)
