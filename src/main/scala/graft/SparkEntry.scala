@@ -208,6 +208,30 @@ object SparkEntry {
         size(col("attestation")).cast("long").as("n_attestations"),
         get(col("software"), lit(0)).getField("license_spdx").as("sw_license"))
     }),
+    // C16: OKH v1 YAML manifests (no okhv key) through the v1→LOSH
+    // conversion + the SAME manifest normalizer; oracle = closed-form
+    // LOSH projection of the public-spec field mapping (normalize/OkhV1)
+    "q_normalize_v1" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val raw = s.read.parquet(s"$d/part.parquet").select(col("p_partkey"))
+        .as[Long].map(k => (k, graft.fixtures.SyntheticManifests.v1Yaml(k)))
+        .toDF("k", "content").withColumn("fmt", lit("yaml"))
+      val p = graft.normalize.Normalizers.manifest(s, raw)
+      p.select(
+        col("project_id"), col("name"), col("version"), col("release"),
+        col("okhv"), col("license_spdx"),
+        get(col("licensor"), lit(0)).getField("name").as("licensor_name"),
+        get(col("licensor"), lit(0)).getField("email").as("licensor_email"),
+        get(col("organization"), lit(0)).getField("name").as("org_name"),
+        col("function"),
+        size(col("documentation_language")).cast("long").as("n_langs"),
+        get(col("image"), lit(0)).getField("path").as("image_path"),
+        get(col("bom"), lit(0)).getField("path").as("bom_path"),
+        get(col("manufacturing_instructions"), lit(0)).getField("path").as("mi_path"),
+        get(col("user_manual"), lit(0)).getField("path").as("manual_path"),
+        size(col("standard_compliance")).cast("long").as("n_standards"))
+    }),
     // strict validation (validator/strict.py:24-88 + C19 regexes) over
     // normalized manifests with injected defects, oracle-checked against
     // the closed-form expected reasons per key
@@ -769,6 +793,63 @@ object SparkEntry {
         |  'OTRL-4' AS trl,
         |  'ODRL-3' AS drl
         |FROM part""".stripMargin,
+    // full-fidelity RDF oracle: the q_rdf_triples hit template is UNIFORM
+    // across projects, so each project emits exactly these 40 (graph,s,p,o)
+    // triples with only id/name/type substitutions — the oracle pins every
+    // triple of all three graphs (incl. license resolution 'GNU - GPL' →
+    // spdxl:GPL-3.0-or-later, rdf_serializer.py quirks) per project
+    "q_rdf_triples" ->
+      """WITH tpl(graph, s, p, o) AS (VALUES
+        |  ('data', ':licensor0', 'a', 'dcterms:Agent'),
+        |  ('data', ':licensor0', 'a', 'foaf:Person'),
+        |  ('data', ':licensor0', 'a', 'schema:Person'),
+        |  ('data', ':licensor0', 'foaf:name', '"A B"'),
+        |  ('data', ':licensor0', 'foaf:weblog', '<https://www.thingiverse.com/a_b>'),
+        |  ('data', ':licensor0', 'schema:name', '"A B"'),
+        |  ('data', ':licensor0', 'schema:url', '<https://www.thingiverse.com/a_b>'),
+        |  ('data', ':project', 'a', 'okh:Module'),
+        |  ('data', ':project', 'ods:hasSource', ':projectDataSetSource'),
+        |  ('data', ':project', 'ods:license', 'spdxl:GPL-3.0-or-later'),
+        |  ('data', ':project', 'ods:licensor', ':licensor0'),
+        |  ('data', ':project', 'ods:source', '<https://www.thingiverse.com/thing:{ID}>'),
+        |  ('data', ':project', 'okh:documentationReadinessLevel', 'otrl:ODRL3'),
+        |  ('data', ':project', 'okh:function', '"Makes {TYPE} parts."'),
+        |  ('data', ':project', 'okh:hasExport', ':projectExportFile1'),
+        |  ('data', ':project', 'okh:hasImage', ':projectImage1'),
+        |  ('data', ':project', 'okh:name', '"{NAME}"'),
+        |  ('data', ':project', 'okh:technologyReadinessLevel', 'otrl:OTRL4'),
+        |  ('data', ':project', 'okh:version', '"2020-01-02T03:04:05+00:00"'),
+        |  ('data', ':projectExportFile1', 'a', 'ods:File'),
+        |  ('data', ':projectExportFile1', 'ods:fileFormat', 'mime:model/stl'),
+        |  ('data', ':projectExportFile1', 'ods:url', '<https://cdn.thingiverse.test/{ID}.stl>'),
+        |  ('data', ':projectExportFile1', 'rdfs:label', '"projectExportFile1 of project"'),
+        |  ('data', ':projectImage1', 'a', 'okh:Image'),
+        |  ('data', ':projectImage1', 'ods:fileFormat', 'mime:image/png'),
+        |  ('data', ':projectImage1', 'ods:url', '<https://cdn.thingiverse.test/{ID}.png>'),
+        |  ('data', ':projectImage1', 'rdfs:label', '"projectImage1 of project"'),
+        |  ('meta', ':projectDataSet', 'a', 'ods:Dataset'),
+        |  ('meta', ':projectDataSet', 'ods:hasSource', ':projectDataSetSource'),
+        |  ('meta', ':projectDataSet', 'ods:license', 'spdxl:GPL-3.0-or-later'),
+        |  ('meta', ':projectDataSet', 'ods:licensor', ':licensor0'),
+        |  ('meta', ':projectDataSet', 'rdfs:label', '"Covers all the data in this namespace"'),
+        |  ('meta', ':projectDataSet', 'void:rootResource', ':project'),
+        |  ('meta', ':projectDataSetSource', 'a', 'ods:Source'),
+        |  ('meta', ':projectDataSetSource', 'ods:dataSourcingProcedure', 'okhkrawl:dataSourcingProcedureApi'),
+        |  ('meta', ':projectDataSetSource', 'ods:license', 'spdxl:GPL-3.0-or-later'),
+        |  ('meta', ':projectDataSetSource', 'ods:licensor', ':licensor0'),
+        |  ('meta', ':projectDataSetSource', 'ods:primaryHost', 'okhkrawl:dataProviderThingiverse'),
+        |  ('meta', ':projectDataSetSource', 'ods:visits', '1'),
+        |  ('meta', ':projectDataSetSource', 'rdfs:label', '"Info related to the source of a data-set"')),
+        |proj AS (
+        |  SELECT p_partkey AS id, p_name, p_type,
+        |    'thingiverse.com/' || CAST(p_partkey // 10000 AS VARCHAR) || '/' || p_partkey AS project_id
+        |  FROM part)
+        |SELECT proj.project_id, tpl.graph, tpl.s, tpl.p,
+        |  replace(replace(replace(tpl.o,
+        |    '{ID}', CAST(proj.id AS VARCHAR)),
+        |    '{NAME}', proj.p_name),
+        |    '{TYPE}', proj.p_type) AS o
+        |FROM proj CROSS JOIN tpl""".stripMargin,
     "q_normalize_manifest" ->
       """SELECT
         |  'https://github.com/owner' || (p_partkey % 7) || '/repo' || p_partkey AS project_id,
@@ -797,6 +878,27 @@ object SparkEntry {
         |  CAST(CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_langs,
         |  CAST(CASE WHEN p_partkey % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_attestations,
         |  CASE WHEN p_partkey % 5 = 2 THEN 'MIT' END AS sw_license
+        |FROM part""".stripMargin,
+    "q_normalize_v1" ->
+      """SELECT
+        |  'https://legacy.example.org/' || p_partkey AS project_id,
+        |  'Legacy Thing ' || p_partkey AS name,
+        |  '0.' || (p_partkey % 7) || '.' || (p_partkey % 3) AS version,
+        |  CASE WHEN p_partkey % 3 = 0
+        |       THEN '2019-0' || (p_partkey % 9 + 1) || '-01' END AS release,
+        |  'OKH-LOSHv1.0' AS okhv,
+        |  CASE p_partkey % 4 WHEN 0 THEN 'MIT' WHEN 1 THEN 'CC-BY-4.0'
+        |       WHEN 2 THEN 'GPL-3.0-or-later' ELSE 'Apache-2.0' END AS license_spdx,
+        |  'Old User ' || p_partkey AS licensor_name,
+        |  CASE WHEN p_partkey % 2 = 0 THEN 'o' || p_partkey || '@x.org' END AS licensor_email,
+        |  CASE WHEN p_partkey % 5 = 0 THEN 'Org' || (p_partkey % 3) END AS org_name,
+        |  'Old thing ' || p_partkey || '.' AS "function",
+        |  CAST(1 AS BIGINT) AS n_langs,
+        |  CASE WHEN p_partkey % 2 = 1 THEN 'img' || p_partkey || '.png' END AS image_path,
+        |  'bom.csv' AS bom_path,
+        |  'build.md' AS mi_path,
+        |  CASE WHEN p_partkey % 4 = 0 THEN 'manual.pdf' END AS manual_path,
+        |  CAST(CASE WHEN p_partkey % 6 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_standards
         |FROM part""".stripMargin,
     "q_slugify" ->
       """SELECT p_partkey AS k,

@@ -75,4 +75,45 @@ object SyntheticManifests {
     }
     sb.toString
   }
+
+  /** OKH v1 YAML manifest per key (C16 fixture): no `okhv` key — the
+    * v1-detection trigger — with fields per the public v1 spec, pure
+    * function of `k` so the DuckDB oracle computes the converted LOSH
+    * projection in closed form (mapping: `normalize/OkhV1`).
+    */
+  def v1Yaml(k: Long): String = {
+    val sb = new StringBuilder
+    def line(s: String): Unit = { sb.append(s); sb.append('\n') }
+    line(s"title: Legacy Thing $k")
+    line(s"description: Old thing $k.")
+    line(s"version: 0.${k % 7}.${k % 3}")
+    line(s"documentation-home: https://legacy.example.org/$k")
+    if (k % 3 == 0) line(s"date-updated: 2019-0${k % 9 + 1}-01")
+    line("license:")
+    (k % 4) match {
+      case 0 => line("  hardware: MIT")
+      case 1 => line("  documentation: CC-BY-4.0")
+      case 2 => line("  software: GPL-3.0-or-later")
+      case _ => line("  hardware: Apache-2.0")
+    }
+    line("licensor:")
+    line(s"  name: Old User $k")
+    if (k % 2 == 0) line(s"  email: o$k@x.org")
+    if (k % 5 == 0) line(s"  affiliation: Org${k % 3}")
+    line("documentation-language: en")
+    if (k % 2 == 1) line(s"image: img$k.png")
+    line("bom: bom.csv")
+    line("making-instructions:")
+    line("  - path: build.md")
+    line("    title: Build")
+    if (k % 4 == 0) {
+      line("operating-instructions:")
+      line("  - path: manual.pdf")
+    }
+    if (k % 6 == 0) {
+      line("standards-used:")
+      line("  - standard-title: DIN EN 1335")
+    }
+    sb.toString
+  }
 }

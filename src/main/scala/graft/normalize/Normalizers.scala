@@ -374,6 +374,7 @@ object Normalizers {
   private val yamlToJsonUdf = udf { s: String =>
     try graft.formats.Yaml.toJsonString(s) catch { case _: Exception => null }
   }
+  private val okhV1JsonUdf = udf(OkhV1.convertJson _)
 
   /** TOML/YAML manifest content (`fmt` column ∈ {toml, yml, json}) →
     * Project rows. Parse errors become null rows filtered into a failure
@@ -384,10 +385,18 @@ object Normalizers {
   def manifest(spark: SparkSession, raw: DataFrame,
       contentCol: String = "content", fmtCol: String = "fmt",
       passthrough: Seq[String] = Seq.empty): DataFrame = {
-    val json = raw.withColumn("manifest_json",
+    val json0 = raw.withColumn("manifest_json",
       when(col(fmtCol) === "toml", tomlToJsonUdf(col(contentCol)))
         .when(col(fmtCol).isin("yml", "yaml"), yamlToJsonUdf(col(contentCol)))
         .otherwise(col(contentCol)))
+    // C16: a manifest with no `okhv` key is assumed OKH v1 and converted to
+    // the LOSH shape (manifest.py:194-200; mapping doc in OkhV1). The guard
+    // keeps the conversion UDF off the hot path for LOSH manifests.
+    val json = json0.withColumn("manifest_json",
+      when(col("manifest_json").isNotNull &&
+          get_json_object(col("manifest_json"), "$.okhv").isNull,
+        okhV1JsonUdf(col("manifest_json")))
+        .otherwise(col("manifest_json")))
     val m = json
       .withColumn("m", from_json(col("manifest_json"), manifestSchema))
       .filter(col("m").isNotNull && col("m.name").isNotNull)

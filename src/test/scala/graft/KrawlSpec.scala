@@ -37,7 +37,8 @@ class KrawlSpec extends SparkTestBase {
 
   test("convert: manifest → normalized → TOML + canonical JSON emissions (§3.3)") {
     val toml =
-      """name = "Conv Thing"
+      """okhv = "OKH-LOSHv1.0"
+        |name = "Conv Thing"
         |repo = "https://github.com/a/b"
         |version = "2.0"
         |license = "MIT"
@@ -57,14 +58,20 @@ class KrawlSpec extends SparkTestBase {
       "okhv = \"OKH-LOSHv1.0\"\nname = \"Ok\"\nrepo = \"https://x.org/a\"\nversion = \"1\"\nlicense = \"MIT\"\nlicensor = \"A\"\n")
     val badLicense = ("toml",
       "okhv = \"OKH-LOSHv1.0\"\nname = \"Bad\"\nrepo = \"https://x.org/b\"\nversion = \"1\"\nlicense = \"MIT CC0-1.0\"\nlicensor = \"A\"\n")
-    // no okhv at all → strict.py:28-29 "missing okhv"
+    // a manifest with NO okhv now auto-converts as OKH v1 (C16,
+    // manifest.py:194-200), so the strict missing-okhv rule (strict.py:
+    // 28-29) is exercised the way it arises in the reference: a Project
+    // whose okhv is unset coming out of a non-manifest normalizer —
+    // modeled by nulling okhv post-normalize on one row
     val noOkhv = ("toml",
-      "name = \"NoV\"\nrepo = \"https://x.org/c\"\nversion = \"1\"\nlicense = \"MIT\"\nlicensor = \"A\"\n")
+      "okhv = \"OKH-LOSHv1.0\"\nname = \"NoV\"\nrepo = \"https://x.org/c\"\nversion = \"1\"\nlicense = \"MIT\"\nlicensor = \"A\"\n")
     // blocked license (validator blocklist via the full LicenseDim)
     val blocked = ("toml",
       "okhv = \"OKH-LOSHv1.0\"\nname = \"Blk\"\nrepo = \"https://x.org/d\"\nversion = \"1\"\nlicense = \"CC-BY-NC-4.0\"\nlicensor = \"A\"\n")
     val projects = graft.normalize.Normalizers.manifest(spark,
       Seq(good, badLicense, noOkhv, blocked).toDF("fmt", "content"))
+      .withColumn("okhv", when(col("name") === "NoV",
+        lit(null).cast("string")).otherwise(col("okhv")))
     val v = Krawl.validate(projects)
       .select("name", "ok", "reasons").collect()
       .map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap

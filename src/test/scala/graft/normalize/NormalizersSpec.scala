@@ -156,7 +156,8 @@ class NormalizersSpec extends SparkTestBase {
 
   test("manifest: appropedia v1 comma-list licensor hack (ref manifest.py:344-358)") {
     val yaml =
-      """title: Open Source Scale
+      """okhv: OKH-LOSHv1.0
+        |title: Open Source Scale
         |name: Open Source Scale
         |repo: https://www.appropedia.org/Open_Source_Scale
         |version: "0.9"
@@ -303,7 +304,8 @@ class NormalizersSpec extends SparkTestBase {
 
   test("manifest: YAML form parses too (C15)") {
     val yaml =
-      """name: Yaml Thing
+      """okhv: OKH-LOSHv1.0
+        |name: Yaml Thing
         |repo: https://github.com/a/b
         |version: "1.0"
         |license: MIT
@@ -314,5 +316,71 @@ class NormalizersSpec extends SparkTestBase {
     val r = m.collect()(0)
     assert(r.getAs[String]("name") == "Yaml Thing")
     assert(r.getAs[String]("license_spdx") == "MIT")
+  }
+
+  test("C16: OKH v1 manifest (no okhv) converts to LOSH and normalizes " +
+      "(public-spec field mapping; manifest.py:194-200 trigger)") {
+    // unit: the mapping itself, incl. fallbacks and bare-string forms
+    import graft.tables.Json
+    val v1 = Json.parse(
+      """{"title":"Old Widget","description":"Legacy.","version":"0.3",
+        |"project-link":"https://ex.org/w","license":{"documentation":"CC-BY-4.0"},
+        |"licensor":{"name":"Ada","email":"a@x.org","affiliation":"OrgZ"},
+        |"documentation-language":"de","image":"w.png","bom":"b.csv",
+        |"making-instructions":[{"path":"mk.md","title":"mk"}],
+        |"operating-instructions":["op.md"],
+        |"standards-used":[{"standard-title":"DIN 1"},"ISO 2"],
+        |"date-created":"2018-01-01"}""".stripMargin.replace("\n", ""))
+      .asInstanceOf[Json.JObj]
+    val losh = OkhV1.convertToLosh(v1)
+    assert(losh.str("okhv") == "OKH-LOSHv1.0")
+    assert(losh.str("name") == "Old Widget")
+    assert(losh.str("function") == "Legacy.")
+    assert(losh.str("repo") == "https://ex.org/w") // project-link fallback
+    assert(losh.str("license") == "CC-BY-4.0")
+    assert(losh.str("licensor") == "Ada <a@x.org>")
+    assert(losh.str("organization") == "OrgZ")
+    assert(losh.str("release") == "2018-01-01") // date-created fallback
+    assert(losh.str("manufacturing-instructions") == "mk.md")
+    assert(losh.str("user-manual") == "op.md") // bare-string list entry
+    assert(losh.arr("standard-compliance").map(_.asInstanceOf[Json.JStr].v) ==
+      Vector("DIN 1", "ISO 2"))
+    // a LOSH manifest passes through untouched
+    val already = Json.parse("""{"okhv":"OKH-LOSHv1.0","name":"N"}""")
+      .asInstanceOf[Json.JObj]
+    assert(OkhV1.convertToLosh(already) eq already)
+
+    // e2e: the v1 YAML fixture through the real normalizer matches the
+    // closed-form oracle expectations for representative keys
+    val ks = Seq(12L, 5L, 7L, 30L)
+    val raw = ks.map(k => (k, graft.fixtures.SyntheticManifests.v1Yaml(k)))
+      .toDF("k", "content").withColumn("fmt", lit("yaml"))
+    val rows = Normalizers.manifest(spark, raw)
+      .collect().map(r => r.getAs[String]("project_id") -> r).toMap
+    assert(rows.size == ks.size)
+    val r12 = rows("https://legacy.example.org/12")
+    assert(r12.getAs[String]("name") == "Legacy Thing 12")
+    assert(r12.getAs[String]("okhv") == "OKH-LOSHv1.0")
+    assert(r12.getAs[String]("version") == "0.5.0")
+    assert(r12.getAs[String]("release") == "2019-04-01")
+    assert(r12.getAs[String]("license_spdx") == "MIT")
+    assert(r12.getAs[String]("function") == "Old thing 12.")
+    val lic12 = r12.getSeq[org.apache.spark.sql.Row](r12.fieldIndex("licensor"))
+    assert(lic12.head.getAs[String]("name") == "Old User 12")
+    assert(lic12.head.getAs[String]("email") == "o12@x.org")
+    val r5 = rows("https://legacy.example.org/5")
+    assert(r5.getAs[String]("license_spdx") == "CC-BY-4.0")
+    assert(r5.getSeq[org.apache.spark.sql.Row](r5.fieldIndex("image"))
+      .head.getAs[String]("path") == "img5.png")
+    val org5 = r5.getSeq[org.apache.spark.sql.Row](r5.fieldIndex("organization"))
+    assert(org5.head.getAs[String]("name") == "Org2")
+    val r7 = rows("https://legacy.example.org/7")
+    assert(r7.getAs[String]("license_spdx") == "Apache-2.0")
+    assert(r7.isNullAt(r7.fieldIndex("release")))
+    val r30 = rows("https://legacy.example.org/30")
+    assert(r30.getSeq[String](r30.fieldIndex("standard_compliance")) ==
+      Seq("DIN EN 1335"))
+    assert(r30.getSeq[org.apache.spark.sql.Row](r30.fieldIndex("user_manual"))
+      .isEmpty) // 30 % 4 != 0
   }
 }

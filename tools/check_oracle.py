@@ -59,7 +59,7 @@ for name in sorted(oracle):
 
 rows_only = [n for n in
     ["q_minhash_lsh","q_simhash","q_simhash_pairs","q_ann_lsh",
-     "q_rdf_triples","q_multimodal_featurize","q_crawl_e2e"]
+     "q_multimodal_featurize","q_crawl_e2e"]
     if glob.glob(f"{out_dir}/{n}/*.parquet")]
 for n in rows_only:
     n_rows = sum(len(pd.read_parquet(f)) for f in glob.glob(f"{out_dir}/{n}/*.parquet"))
