@@ -49,7 +49,7 @@ object Bench {
     "q14_promo", "q_event_windows", "q_sessionize",
     "q_frontier_dedup", "q_crawl_order", "q_politeness_schedule",
     "q_fetch_schedule", "q_crawl_meta",
-    "q_normalize_manifest", "q_license_resolve", "q_rdf_triples",
+    "q_normalize_manifest", "q_normalize_v1", "q_license_resolve", "q_rdf_triples",
     "q_dedup_exact", "q_fingerprint", "q_quality", "q_lang_id",
     "q_ngram_jaccard", "q_minhash_lsh", "q_simhash_pairs", "q_embed_neardup",
     // headline ANN number is the scale path (hyperplane LSH); the O(Q×N)
@@ -72,12 +72,27 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=crawl skips the query suite (fast iteration on
     // the scaling section while profiling the crawl path)
     val crawlOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("crawl")
+    // SPARK_GRAFT_BENCH_QUERIES=q_a,q_b times just those queries and skips
+    // the scaling section (isolated per-query measurement)
+    val onlyQueries = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var spark = session(cpus)
-    val timings = if (crawlOnly) Seq.empty else headline.map { name =>
+    val suite = onlyQueries.fold(headline)(qs => headline.filter(qs))
+    val timings = if (crawlOnly) Seq.empty else suite.map { name =>
       val fn = SparkEntry.queries(name)
       exec(fn(spark, sfDir)) // warmup: JIT + reader metadata + codegen cache
       val sec = time(exec(fn(spark, sfDir)))
       name -> sec
+    }
+
+    if (onlyQueries.isDefined) {
+      // isolated query timing: print and exit before the scaling section
+      val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${timings.map(_._2).sum},""" +
+        s""""unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      spark.stop()
+      return
     }
 
     // persist the synthetic store once (shared by both scaling runs);

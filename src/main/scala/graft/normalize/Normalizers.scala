@@ -368,11 +368,22 @@ object Normalizers {
       StructField("license", StringType),
       StructField("licensor", StringType)))))))
 
+  // C16 rides the existing parse: the TOML/YAML converters already hold the
+  // parsed object, so the okhv-absence check + v1→LOSH conversion
+  // (manifest.py:194-200 trigger; mapping in OkhV1) costs ZERO extra JSON
+  // parses on the hot path. Raw-JSON content (cold path) goes through
+  // OkhV1.convertJson, which parses once and self-detects.
   private val tomlToJsonUdf = udf { s: String =>
-    try graft.formats.Toml.toJsonString(s) catch { case _: Exception => null }
+    try OkhV1.convertToLosh(graft.formats.Toml.parse(s)).toString
+    catch { case _: Exception => null }
   }
   private val yamlToJsonUdf = udf { s: String =>
-    try graft.formats.Yaml.toJsonString(s) catch { case _: Exception => null }
+    try {
+      graft.formats.Yaml.parse(s) match {
+        case o: graft.tables.Json.JObj => OkhV1.convertToLosh(o).toString
+        case other => other.toString
+      }
+    } catch { case _: Exception => null }
   }
   private val okhV1JsonUdf = udf(OkhV1.convertJson _)
 
@@ -385,18 +396,10 @@ object Normalizers {
   def manifest(spark: SparkSession, raw: DataFrame,
       contentCol: String = "content", fmtCol: String = "fmt",
       passthrough: Seq[String] = Seq.empty): DataFrame = {
-    val json0 = raw.withColumn("manifest_json",
+    val json = raw.withColumn("manifest_json",
       when(col(fmtCol) === "toml", tomlToJsonUdf(col(contentCol)))
         .when(col(fmtCol).isin("yml", "yaml"), yamlToJsonUdf(col(contentCol)))
-        .otherwise(col(contentCol)))
-    // C16: a manifest with no `okhv` key is assumed OKH v1 and converted to
-    // the LOSH shape (manifest.py:194-200; mapping doc in OkhV1). The guard
-    // keeps the conversion UDF off the hot path for LOSH manifests.
-    val json = json0.withColumn("manifest_json",
-      when(col("manifest_json").isNotNull &&
-          get_json_object(col("manifest_json"), "$.okhv").isNull,
-        okhV1JsonUdf(col("manifest_json")))
-        .otherwise(col("manifest_json")))
+        .otherwise(okhV1JsonUdf(col(contentCol))))
     val m = json
       .withColumn("m", from_json(col("manifest_json"), manifestSchema))
       .filter(col("m").isNotNull && col("m.name").isNotNull)
