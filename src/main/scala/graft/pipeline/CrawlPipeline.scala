@@ -298,6 +298,54 @@ object CrawlPipeline {
     */
   val MaxErrorRetries = 3
 
+  /** Frontier units eligible for this run: the URL-seen exclusion dataflow.
+    * Bucket-routed frontier → Bloom/cuckoo file prefilter → resolved-set
+    * fold over ONLY the prefilter-positive candidates' state (semi-join
+    * first) → exact anti-join. Summary-first (the sustained-10^10
+    * maintenance path): with a compacted summary present the fold reads the
+    * summary row plus only events NEWER than its covered version, so
+    * per-run cost is proportional to candidates + activity since the last
+    * compaction, never the full attempt history.
+    *
+    * Extracted from `run` so PlanSpec can pin the exclusion plan shape
+    * (no CartesianProduct / no nested-loop join anywhere in the subtree).
+    */
+  def selectCandidates(spark: SparkSession, tableRoot: String,
+      fullFrontier: DataFrame, seenOpt: Option[DataFrame],
+      seenFilters: graft.frontier.SeenFilterStore,
+      filterDir: String): DataFrame = seenOpt match {
+    case None => fullFrontier
+    case Some(seenDf) =>
+      val routed = fullFrontier.repartition(NBuckets, col("bucket"))
+      val might = seenFilters.predicate(filterDir)
+      val maybeSeen = routed.filter(might)
+      val candSet = maybeSeen.select("unit_path").distinct()
+      val summaryState = for {
+        snap <- urlSeenSummaryStore(tableRoot).currentSnapshot
+        covered <- snap.metrics.get("covered_version")
+        df <- urlSeenSummaryStore(tableRoot).read(spark)
+      } yield (df, covered)
+      val perUnit = summaryState match {
+        case None =>
+          foldResolution(seenDf.join(candSet, Seq("unit_path"), "left_semi"))
+        case Some((summaryDf, covered)) =>
+          val base = summaryDf.select("unit_path", "perm", "n_err")
+            .join(candSet, Seq("unit_path"), "left_semi")
+          val delta = foldResolution(seenDf
+            .filter(col("run_seq") > covered)
+            .join(candSet, Seq("unit_path"), "left_semi"))
+          // perm re-aggregates as max-of-max, n_err as sum-of-sum
+          base.unionByName(delta).groupBy("unit_path")
+            .agg(max("perm").as("perm"), sum("n_err").as("n_err"))
+      }
+      val resolved = perUnit
+        .filter(col("perm") === 1 || col("n_err") >= MaxErrorRetries)
+        .select("unit_path")
+      val definitelyNew = routed.filter(!might)
+      definitelyNew.unionByName(
+        maybeSeen.join(resolved, Seq("unit_path"), "left_anti"))
+  }
+
   def run(spark: SparkSession, storeDir: String, tableRoot: String,
       limit: Option[Long] = None,
       salts: Map[String, Int] = Map.empty,
@@ -342,47 +390,10 @@ object CrawlPipeline {
           "bucket", "url_hash", bloomDir, curV)
       }
     }
-    val candidates = seenOpt match {
-      case _ if revisit => fullFrontier
-      case None => fullFrontier
-      case Some(seenDf) =>
-        val routed = fullFrontier.repartition(NBuckets, col("bucket"))
-        val might = seenFilters.predicate(bloomDir)
-        val maybeSeen = routed.filter(might)
-        // the resolved-set aggregation runs over ONLY the Bloom-positive
-        // candidates' events (semi-join first): without it, every run would
-        // aggregate the FULL event log even when the candidate set is tiny.
-        // Summary-first (the sustained-10^10 maintenance path): when a
-        // compacted summary exists, the aggregate folds the summary row plus
-        // only the events NEWER than its covered version — per-run cost is
-        // proportional to candidates + activity since the last compaction,
-        // never the full attempt history.
-        val candSet = maybeSeen.select("unit_path").distinct()
-        val summaryState = for {
-          snap <- urlSeenSummaryStore(tableRoot).currentSnapshot
-          covered <- snap.metrics.get("covered_version")
-          df <- urlSeenSummaryStore(tableRoot).read(spark)
-        } yield (df, covered)
-        val perUnit = summaryState match {
-          case None =>
-            foldResolution(seenDf.join(candSet, Seq("unit_path"), "left_semi"))
-          case Some((summaryDf, covered)) =>
-            val base = summaryDf.select("unit_path", "perm", "n_err")
-              .join(candSet, Seq("unit_path"), "left_semi")
-            val delta = foldResolution(seenDf
-              .filter(col("run_seq") > covered)
-              .join(candSet, Seq("unit_path"), "left_semi"))
-            // perm re-aggregates as max-of-max, n_err as sum-of-sum
-            base.unionByName(delta).groupBy("unit_path")
-              .agg(max("perm").as("perm"), sum("n_err").as("n_err"))
-        }
-        val resolved = perUnit
-          .filter(col("perm") === 1 || col("n_err") >= MaxErrorRetries)
-          .select("unit_path")
-        val definitelyNew = routed.filter(!might)
-        definitelyNew.unionByName(
-          maybeSeen.join(resolved, Seq("unit_path"), "left_anti"))
-    }
+    val candidates =
+      if (revisit) fullFrontier
+      else selectCandidates(spark, tableRoot, fullFrontier, seenOpt,
+        seenFilters, bloomDir)
 
     // fixture-scale run slice of the golden order (kill/resume simulation)
     val sliced = limit match {

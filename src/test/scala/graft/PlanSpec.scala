@@ -212,4 +212,39 @@ class PlanSpec extends SparkTestBase {
     assert(leftLines.exists(_.contains("Bucketed: true")),
       s"store side is not the bucketed scan:\n$tree")
   }
+
+  test("URL-seen exclusion plan (summary-first): key joins only — no cartesian, " +
+      "no nested loop, every shuffle on bucket/unit_path") {
+    import org.apache.spark.sql.functions._
+    val P = graft.pipeline.CrawlPipeline
+    val store = graft.fixtures.SyntheticStore.generate(spark, 300, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-sum").toString + "/store"
+    store.write.mode("overwrite").parquet(dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-root").toString
+    // two slices + a compaction so BOTH the summary AND a non-empty event
+    // delta feed the exclusion fold
+    P.run(spark, dir, root, Some(120L))
+    assert(P.compactUrlSeen(spark, root).contains(0L))
+    P.run(spark, dir, root, Some(120L))
+    val fullFrontier = P.robotsAllowed(P.frontier(spark, dir))
+    val candidates = P.selectCandidates(spark, root, fullFrontier,
+      P.urlSeenStore(root).read(spark), graft.frontier.SeenFilters.bloom,
+      s"$root/bloom")
+    val qe = candidates.queryExecution
+    qe.executedPlan.execute().foreachPartition((_: Iterator[_]) => ())
+    val p = qe.executedPlan.toString + "\n" +
+      qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"exclusion must stay key-joined:\n$p")
+    // every hash shuffle keys on the frontier routing or the unit key
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toVector
+    assert(exchanges.forall(l => l.contains("bucket") || l.contains("unit_path")),
+      s"unexpected shuffle key:\n${exchanges.mkString("\n")}")
+    // the delta read filters on run_seq BEFORE joining (not post-join)
+    assert(p.contains("run_seq"), s"summary delta filter missing:\n$p")
+    // semantics: 240 units are resolved (no 997-class errors at N=300, so
+    // every attempt was permanent) → exactly the other 60 remain eligible
+    val remaining = candidates.select("unit_path").distinct().count()
+    assert(remaining == 60L, s"exclusion selected $remaining, expected 60")
+  }
 }
