@@ -75,9 +75,15 @@ object Bench {
     // SPARK_GRAFT_BENCH_QUERIES=q_a,q_b times just those queries and skips
     // the scaling section (isolated per-query measurement)
     val onlyQueries = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // any SparkEntry query may be isolated (not just headline members);
+    // an unknown name is an error, not a silent empty measurement
+    onlyQueries.foreach { qs =>
+      val unknown = qs.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty, s"unknown SPARK_GRAFT_BENCH_QUERIES: ${unknown.mkString(",")}")
+    }
     var spark = session(cpus)
-    val suite = onlyQueries.fold(headline)(qs => headline.filter(qs))
+    val suite = onlyQueries.getOrElse(headline)
     val timings = if (crawlOnly) Seq.empty else suite.map { name =>
       val fn = SparkEntry.queries(name)
       exec(fn(spark, sfDir)) // warmup: JIT + reader metadata + codegen cache

@@ -81,6 +81,13 @@ object FetchStage {
   final case class Politeness(minIntervalMs: Long, maxRetries: Int,
       budgetRequests: Int = 0, windowMs: Long = 0L)
 
+  /** Budget for hosts absent from the politeness map — ONE definition,
+    * used both by the fetch loop and by robots-only host synthesis (two
+    * diverging literals here would pace robots-only hosts from a different
+    * base than the fetch loop actually applies).
+    */
+  val FallbackPoliteness: Politeness = Politeness(1000L, 3)
+
   /** Politeness budget honoring robots Crawl-delay per host: interval =
     * max(platform interval, robots delay) (model/Robots.effectiveIntervalMs).
     */
@@ -91,7 +98,7 @@ object FetchStage {
     // an unconfigured host would be silently dropped and the host paced with
     // the bare fallback interval
     (base.keySet ++ robots.keySet).iterator.map { host =>
-      val p = base.getOrElse(host, Politeness(1000L, 3))
+      val p = base.getOrElse(host, FallbackPoliteness)
       host -> p.copy(minIntervalMs = graft.model.Robots.effectiveIntervalMs(
         p.minIntervalMs, robots.getOrElse(host, graft.model.Robots.Allowed)))
     }.toMap
@@ -155,7 +162,7 @@ object FetchStage {
             FetchLogRow(unitPath, host, id, priority, seq, urlHash, bucket, 0L, pos,
               start0, start0, 0, "robots_denied")
           } else {
-            val p = pol.getOrElse(host, Politeness(1000L, 3))
+            val p = pol.getOrElse(host, FallbackPoliteness)
             // budget split: a host salted into k buckets fetches every
             // k × interval per bucket, preserving the aggregate host rate
             val k = math.max(1, saltN(host))

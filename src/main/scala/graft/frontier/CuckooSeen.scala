@@ -147,10 +147,19 @@ object CuckooSeen {
     * files; the VERSION stamp is NOT advanced (the filters still cover the
     * same url_seen snapshot — they now just under-approximate it, which is
     * exactly the intent).
+    *
+    * Returns the number of keys that could NOT be un-seen (their bucket's
+    * filter is saturated — a saturated filter has lost slot fidelity and
+    * answers true for everything, so deletion cannot take effect). A
+    * non-zero return means those buckets need a rebuild at larger sizing
+    * (minus the invalidated keys) before the re-fetch will happen; silently
+    * ignoring it would turn the documented "over-invalidation only"
+    * contract into silent under-invalidation.
     */
   def removeKeys(spark: SparkSession, keys: DataFrame,
-      bucketCol: String, hashCol: String, dir: String): Unit = {
+      bucketCol: String, hashCol: String, dir: String): Long = {
     import spark.implicits._
+    val failed = spark.sparkContext.longAccumulator("cuckoo_remove_failed")
     keys.select(col(bucketCol).cast("long"), col(hashCol).cast("long"))
       .as[(Long, Long)]
       .repartition(col(bucketCol))
@@ -160,11 +169,15 @@ object CuckooSeen {
           val target = bucketFile(dir, bucket)
           if (java.nio.file.Files.exists(target)) {
             val f = CuckooFilter.deserialize(java.nio.file.Files.readAllBytes(target))
-            rows.foreach { case (_, h) => f.delete(h) }
+            rows.foreach { case (_, h) => if (!f.delete(h)) failed.add(1L) }
             writeAtomic(target, f.serialized)
           }
+          // absent file = empty bucket: nothing to un-see, and the
+          // conservative might-contain already sends these to the exact
+          // anti-join — not a failure
         }
       }
+    failed.value
   }
 
   /** Per-task lazily-loading might-contain over the filter-file directory

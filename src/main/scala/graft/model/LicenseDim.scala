@@ -31,13 +31,16 @@ object LicenseDim {
   val normalizeNameUdf = udf(normalizeName _)
 
   /** `normalizeName` as a column: all-ASCII inputs (the overwhelmingly
-    * common case — SPDX ids and English license names) resolve through the
-    * codegen'd `trim(lower(...))` fast path (NFKD is the identity and
-    * casefold == lowercase on ASCII); only non-ASCII strings pay the Scala
-    * UDF. Keeps the per-document validate path inside whole-stage codegen.
+    * common case — SPDX ids and English license names) resolve through a
+    * codegen'd fast path (NFKD is the identity and casefold == lowercase on
+    * ASCII); only non-ASCII strings pay the Scala UDF. Keeps the
+    * per-document validate path inside whole-stage codegen. The trim must
+    * match `String.trim` (strips ALL chars ≤ U+0020, not just spaces), so
+    * the fast path uses a regex strip, not Spark's space-only `trim`.
     */
   def normalizeNameCol(c: Column): Column =
-    when(c.rlike("^[\\x00-\\x7F]*$"), trim(lower(c)))
+    when(c.rlike("^[\\x00-\\x7F]*$"),
+      lower(regexp_replace(c, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")))
       .otherwise(normalizeNameUdf(c))
 
   /** Classpath asset → a real file path spark.read can open (on a cluster

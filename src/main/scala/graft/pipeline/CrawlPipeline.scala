@@ -65,8 +65,9 @@ object CrawlPipeline {
     * summary ∪ delta rows (`perm`/`n_err` re-aggregate associatively:
     * max-of-max, sum-of-sum).
     */
-  private def foldResolution(events: DataFrame): DataFrame =
-    events.groupBy("unit_path").agg(
+  private def foldResolution(events: DataFrame,
+      groupCols: Seq[String] = Seq("unit_path")): DataFrame =
+    events.groupBy(groupCols.map(col): _*).agg(
       max(when(col("status").isin("ok", "not_found", "robots_denied"), 1)
         .otherwise(0)).as("perm"),
       sum(when(col("status") === "error", 1L).otherwise(0L)).as("n_err"))
@@ -74,10 +75,12 @@ object CrawlPipeline {
   /** Periodic compaction job (run between crawls, like Iceberg table
     * maintenance): fold the whole url_seen event log into the resolved
     * summary, stamped with the url_seen version it covers. Each compaction
-    * REPLACES the summary (truncate + append — the summary is derived state;
-    * the event log stays the source of truth for CrawlingMeta history).
-    * Crash-safe: a crash before the new summary commits leaves the old
-    * covered_version in place and the per-run delta simply stays larger.
+    * REPLACES the summary in ONE commit (`SnapshotStore.replace` — the
+    * summary is derived state; the event log stays the source of truth for
+    * CrawlingMeta history). Crash-safe: a crash at any point leaves either
+    * the fully-old or fully-new summary, so the old covered_version stays
+    * readable until the new one commits. The prior summary's files are
+    * physically expired right after the commit.
     */
   def compactUrlSeen(spark: SparkSession, tableRoot: String): Option[Long] = {
     val seen = urlSeenStore(tableRoot)
@@ -86,15 +89,14 @@ object CrawlPipeline {
       events <- seen.read(spark)
     } yield {
       // bucket rides through the fold (it is a pure function of unit_path,
-      // so grouping by both adds no keys) and drives the partition layout
-      val summary = events.groupBy("bucket", "unit_path").agg(
-        max(when(col("status").isin("ok", "not_found", "robots_denied"), 1)
-          .otherwise(0)).as("perm"),
-        sum(when(col("status") === "error", 1L).otherwise(0L)).as("n_err"))
+      // so grouping by both adds no keys) and drives the partition layout;
+      // the SAME foldResolution feeds the per-run delta fold, so summary
+      // and delta can never disagree on resolution semantics
+      val summary = foldResolution(events, Seq("bucket", "unit_path"))
       val store = urlSeenSummaryStore(tableRoot)
-      store.truncate()
-      store.append(spark, summary, "bucket",
+      store.replace(spark, summary, "bucket",
         Map("covered_version" -> coveredVersion), clusterBeforeWrite = true)
+      store.expire(keepLast = 1)
       coveredVersion
     }
   }

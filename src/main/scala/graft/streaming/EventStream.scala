@@ -61,11 +61,17 @@ object EventStream {
   /** Latest committed batch_id across the store's snapshot chain: walk
     * parent links from CURRENT until a snapshot carries the metric. Bounded
     * by chain length (snapshot manifests are tiny driver-side JSON reads).
+    * The walk stops at the oldest RETAINED snapshot: manifests dropped by
+    * `SnapshotStore.expire` read as "no further history", not an error —
+    * conservatively no batch_id, so a replayed batch re-appends at worst
+    * (at-least-once, never a crash loop).
     */
   def highWaterBatchId(store: graft.tables.SnapshotStore): Option[Long] = {
     var v = store.currentVersion
     while (v.exists(_ >= 0)) {
-      val snap = store.readSnapshot(v.get)
+      val snap =
+        try store.readSnapshot(v.get)
+        catch { case _: java.io.IOException => return None } // expired history
       snap.metrics.get("batch_id") match {
         case some @ Some(_) => return some
         case None => v = Some(snap.parentVersion).filter(_ >= 0)

@@ -122,7 +122,23 @@ final class SnapshotStore(val root: String) {
     */
   def append(spark: SparkSession, df: DataFrame, partitionCol: String,
       metrics: Map[String, Long] = Map.empty,
-      clusterBeforeWrite: Boolean = false): Snapshot = synchronized {
+      clusterBeforeWrite: Boolean = false): Snapshot =
+    commit(spark, df, partitionCol, metrics, clusterBeforeWrite, replaceAll = false)
+
+  /** REPLACE the table contents in ONE commit (the Iceberg `overwrite`
+    * analogue): the new snapshot references only this commit's files, so a
+    * crash at any point leaves either the fully-old or the fully-new table —
+    * never an empty or doubled one. Prior files become unreferenced history
+    * (reclaim with `expire`).
+    */
+  def replace(spark: SparkSession, df: DataFrame, partitionCol: String,
+      metrics: Map[String, Long] = Map.empty,
+      clusterBeforeWrite: Boolean = false): Snapshot =
+    commit(spark, df, partitionCol, metrics, clusterBeforeWrite, replaceAll = true)
+
+  private def commit(spark: SparkSession, df: DataFrame, partitionCol: String,
+      metrics: Map[String, Long],
+      clusterBeforeWrite: Boolean, replaceAll: Boolean): Snapshot = synchronized {
     import org.apache.spark.sql.functions._
     Files.createDirectories(p("data"))
     Files.createDirectories(p("snapshots"))
@@ -166,13 +182,17 @@ final class SnapshotStore(val root: String) {
 
       val parent = currentSnapshot
       val version = parent.map(_.version + 1).getOrElse(0L)
-      val mergedLineage = counts.foldLeft(parent.map(_.lineage).getOrElse(Map.empty)) {
-        case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v)
-      }
+      // replace: the snapshot owns ONLY this commit's files and lineage
+      val mergedLineage =
+        if (replaceAll) counts
+        else counts.foldLeft(parent.map(_.lineage).getOrElse(Map.empty)) {
+          case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v)
+        }
       val snap = Snapshot(
         version = version,
         parentVersion = parent.map(_.version).getOrElse(-1L),
-        files = parent.map(_.files).getOrElse(Vector.empty) ++ newFiles,
+        files = (if (replaceAll) Vector.empty
+                 else parent.map(_.files).getOrElse(Vector.empty)) ++ newFiles,
         lineage = mergedLineage,
         metrics = metrics.updated("commit_rows", counts.values.sum))
 

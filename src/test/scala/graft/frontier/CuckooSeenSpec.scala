@@ -84,7 +84,8 @@ class CuckooSeenSpec extends SparkTestBase {
 
     // targeted invalidation: remove 200 keys → they fall out of the
     // prefilter (re-fetchable) while every surviving key stays present
-    CuckooSeen.removeKeys(spark, keys(1 to 200), "bucket", "url_hash", dir)
+    assert(CuckooSeen.removeKeys(spark, keys(1 to 200), "bucket", "url_hash", dir) == 0L,
+      "healthy filters must report zero failed deletions")
     val kept2 = candidates.repartition(nBuckets, col("bucket"))
       .filter(CuckooSeen.fileBucketPredicate(dir))
       .select("url_hash").as[Long].collect().toSet
@@ -94,5 +95,14 @@ class CuckooSeenSpec extends SparkTestBase {
       s"invalidation damaged unrelated key $i"))
     // VERSION not advanced: filters still cover the same url_seen snapshot
     assert(CuckooSeen.filtersVersion(dir).contains(1L))
+
+    // a SATURATED bucket filter cannot honor deletions — removeKeys must
+    // SAY so (non-zero return), not silently under-invalidate
+    val satDir = java.nio.file.Files.createTempDirectory("graft-cuckoo-sat")
+      .toString + "/cuckoo"
+    CuckooSeen.updateBucketFilters(spark, keys(1 to 2000), "bucket", "url_hash",
+      satDir, version = 0L, expectedItemsPerBucket = 16) // far undersized
+    val failed = CuckooSeen.removeKeys(spark, keys(1 to 80), "bucket", "url_hash", satDir)
+    assert(failed > 0L, "saturated filters must report failed deletions")
   }
 }

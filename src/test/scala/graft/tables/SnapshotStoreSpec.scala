@@ -9,6 +9,29 @@ class SnapshotStoreSpec extends SparkTestBase {
   private def tmp(): String =
     Files.createTempDirectory("graft-snap").toString
 
+  test("replace: one-commit overwrite — read sees only the new rows, old " +
+      "versions stay time-travelable until expired") {
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "pk"), "pk")
+    store.append(spark, Seq((3L, "a")).toDF("id", "pk"), "pk")
+    val snap = store.replace(spark,
+      Seq((10L, "a"), (11L, "c")).toDF("id", "pk"), "pk",
+      Map("covered_version" -> 7L))
+    assert(snap.version == 2L)
+    // current read = exactly the replacement contents (no union with history)
+    assert(store.read(spark).get.select("id").as[Long].collect().toSet ==
+      Set(10L, 11L))
+    assert(snap.lineage == Map("a" -> 1L, "c" -> 1L))
+    assert(store.currentSnapshot.get.metrics("covered_version") == 7L)
+    // pre-replace state is still time-travelable (files not yet expired)
+    assert(store.readAt(spark, 1L).get.select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+    // expire reclaims the replaced files; current stays readable
+    store.expire(keepLast = 1)
+    assert(store.read(spark).get.count() == 2)
+  }
+
   test("append → read returns committed rows with lineage + metrics") {
     val root = tmp()
     val store = new SnapshotStore(root)
