@@ -82,6 +82,9 @@ object Bench {
       val unknown = qs.filterNot(SparkEntry.queries.contains)
       require(unknown.isEmpty, s"unknown SPARK_GRAFT_BENCH_QUERIES: ${unknown.mkString(",")}")
     }
+    require(!(crawlOnly && onlyQueries.isDefined),
+      "SPARK_GRAFT_BENCH_ONLY=crawl and SPARK_GRAFT_BENCH_QUERIES conflict: " +
+        "the first skips the query suite the second selects from")
     var spark = session(cpus)
     val suite = onlyQueries.getOrElse(headline)
     val timings = if (crawlOnly) Seq.empty else suite.map { name =>
@@ -91,12 +94,13 @@ object Bench {
       name -> sec
     }
 
+    def renderTimings(t: Seq[(String, Double)]): String =
+      t.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     if (onlyQueries.isDefined) {
       // isolated query timing: print and exit before the scaling section
-      val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
       println(s"""{"metric":"total","value":${timings.map(_._2).sum},""" +
-        s""""unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+        s""""unit":"sec","queries":${renderTimings(timings)},"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -171,8 +175,7 @@ object Bench {
     val allRuns = (runsN.map(r => f"${r._1}%.2f") ++ runs4N.map(r => f"${r._1}%.2f"))
       .mkString("[", ",", "]")
 
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    val qs = renderTimings(timings)
     val total = timings.map(_._2).sum
     val scaling =
       f"""{"threads_n":$scaleN,"threads_4n":$scale4N,""" +

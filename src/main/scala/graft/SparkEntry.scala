@@ -304,6 +304,26 @@ object SparkEntry {
       graft.pipeline.CrawlPipeline.fetchLogStore(root).read(s).get
         .select("unit_path", "hosting_id", "id", "pos", "scheduled_ms",
           "completed_ms", "retries", "status")
+    }),
+    // url_seen COMPACTION through the driver gate: sliced crawl to
+    // exhaustion with periodic compaction + a final compaction, then the
+    // resolved summary itself is the oracle-checked output — (perm, n_err)
+    // per unit are closed-form functions of the id residues (robots %103 →
+    // permanent; not_found %101 → permanent; error %997 → never-permanent
+    // with exactly MaxErrorRetries recorded attempts; transient %97 retries
+    // resolve IN-stage and record zero url_seen errors)
+    "q_compact_summary" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val n = s.read.parquet(s"$d/part.parquet").count()
+      val storeDir = s"/tmp/graft_e2e_store_$n" // shared with q_crawl_e2e
+      graft.fixtures.SyntheticStore.ensureOnDisk(s, storeDir, n)
+      val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      graft.pipeline.CrawlPipeline.runUntilDone(s, storeDir, root,
+        math.max(1L, n / 3), compactEvery = 2)
+      graft.pipeline.CrawlPipeline.compactUrlSeen(s, root)
+      graft.pipeline.CrawlPipeline.urlSeenSummaryStore(root).read(s).get
+        .select(col("unit_path"), col("perm").cast("long").as("perm"),
+          col("n_err"))
     })
   )
 
@@ -879,6 +899,25 @@ object SparkEntry {
         |  CAST(CASE WHEN p_partkey % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_attestations,
         |  CASE WHEN p_partkey % 5 = 2 THEN 'MIT' END AS sw_license
         |FROM part""".stripMargin,
+    // id domain = the synthetic store's 1..count(part) (p_partkey itself
+    // is 0-based — the two differ at both ends)
+    "q_compact_summary" ->
+      """WITH ids AS (
+        |  SELECT unnest(generate_series(1, (SELECT count(*) FROM part))) AS id)
+        |SELECT
+        |  CASE id % 7
+        |    WHEN 1 THEN 'github.com/owner' || (id % 10) || '/repo' || id || '/main/okh.toml'
+        |    WHEN 2 THEN 'oshwa.org/' || printf('us%06d', id)
+        |    WHEN 3 THEN 'appropedia.org/Project_' || id
+        |    WHEN 5 THEN 'gitlab.com/group' || (id % 3) || '/proj' || id || '/main/okh.toml'
+        |    WHEN 6 THEN 'codeberg.org/org' || (id % 4) || '/unit' || id || '/main/okh.toml'
+        |    ELSE 'thingiverse.com/' || CAST(id // 10000 AS VARCHAR) || '/' || id
+        |  END AS unit_path,
+        |  CAST(CASE WHEN id % 103 <> 0 AND id % 101 <> 0
+        |            AND id % 997 = 0 THEN 0 ELSE 1 END AS BIGINT) AS perm,
+        |  CAST(CASE WHEN id % 103 <> 0 AND id % 101 <> 0
+        |            AND id % 997 = 0 THEN 3 ELSE 0 END AS BIGINT) AS n_err
+        |FROM ids""".stripMargin,
     "q_normalize_v1" ->
       """SELECT
         |  'https://legacy.example.org/' || p_partkey AS project_id,

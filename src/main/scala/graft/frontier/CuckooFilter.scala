@@ -202,12 +202,14 @@ object CuckooFilter {
   def create(expectedItems: Long): CuckooFilter = {
     val wanted = math.max(1L, math.ceil(expectedItems / 3.2).toLong)
     val buckets = math.max(2L, java.lang.Long.highestOneBit(wanted - 1 max 1) * 2)
-    // fail loudly instead of overflowing Int (numBuckets=0, mask=-1): one
-    // in-heap filter tops out around 3.4e9 items — beyond that, shard
-    // across MORE buckets (the file-per-bucket layout), not bigger filters
-    require(buckets <= (1L << 30),
+    // fail loudly instead of overflowing Int: the slots array holds
+    // buckets × 4 Shorts and `serialized` allocates 2 bytes per slot + 9,
+    // so the safe ceiling is 2^27 buckets (2^29 slots, 1 GiB serialized) ≈
+    // 5×10^8 items — beyond that, shard across MORE buckets (the
+    // file-per-bucket layout), not bigger filters
+    require(buckets <= (1L << 27),
       s"cuckoo filter for $expectedItems items exceeds single-filter " +
-        s"capacity (~3.4e9); shard across more buckets instead")
+        s"capacity (~5e8); shard across more buckets instead")
     val n = buckets.toInt
     new CuckooFilter(n, new Array[Short](n * SlotsPerBucket), false)
   }

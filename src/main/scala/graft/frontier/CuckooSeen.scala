@@ -148,13 +148,15 @@ object CuckooSeen {
     * same url_seen snapshot — they now just under-approximate it, which is
     * exactly the intent).
     *
-    * Returns the number of keys that could NOT be un-seen (their bucket's
-    * filter is saturated — a saturated filter has lost slot fidelity and
-    * answers true for everything, so deletion cannot take effect). A
-    * non-zero return means those buckets need a rebuild at larger sizing
-    * (minus the invalidated keys) before the re-fetch will happen; silently
-    * ignoring it would turn the documented "over-invalidation only"
-    * contract into silent under-invalidation.
+    * Returns the number of keys that could NOT be un-seen because their
+    * bucket's filter is SATURATED (lost slot fidelity, answers true for
+    * everything — deletion cannot take effect). A non-zero return means
+    * those buckets need a rebuild at larger sizing (minus the invalidated
+    * keys) before the re-fetch will happen; silently ignoring it would turn
+    * the documented "over-invalidation only" contract into silent
+    * under-invalidation. A key absent from a HEALTHY filter is NOT a
+    * failure: its lookup already answers false, so the re-fetch happens —
+    * the invalidation goal — whether or not a slot was removed.
     */
   def removeKeys(spark: SparkSession, keys: DataFrame,
       bucketCol: String, hashCol: String, dir: String): Long = {
@@ -169,8 +171,15 @@ object CuckooSeen {
           val target = bucketFile(dir, bucket)
           if (java.nio.file.Files.exists(target)) {
             val f = CuckooFilter.deserialize(java.nio.file.Files.readAllBytes(target))
-            rows.foreach { case (_, h) => if (!f.delete(h)) failed.add(1L) }
-            writeAtomic(target, f.serialized)
+            if (f.saturated) failed.add(rows.size.toLong)
+            else {
+              // delete() returning false here = key not present (never
+              // inserted, duplicate in `keys`, or fingerprint shared with
+              // an earlier delete) — already effectively un-seen, not a
+              // failure
+              rows.foreach { case (_, h) => f.delete(h) }
+              writeAtomic(target, f.serialized)
+            }
           }
           // absent file = empty bucket: nothing to un-see, and the
           // conservative might-contain already sends these to the exact

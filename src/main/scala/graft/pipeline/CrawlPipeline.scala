@@ -314,10 +314,12 @@ object CrawlPipeline {
     */
   def selectCandidates(spark: SparkSession, tableRoot: String,
       fullFrontier: DataFrame, seenOpt: Option[DataFrame],
-      seenFilters: graft.frontier.SeenFilterStore,
-      filterDir: String): DataFrame = seenOpt match {
+      seenFilters: graft.frontier.SeenFilterStore): DataFrame = seenOpt match {
     case None => fullFrontier
     case Some(seenDf) =>
+      // the filter directory is a pure function of (tableRoot, kind) —
+      // derived here so a caller can never pair a kind with the wrong dir
+      val filterDir = s"$tableRoot/${seenFilters.dirName}"
       val routed = fullFrontier.repartition(NBuckets, col("bucket"))
       val might = seenFilters.predicate(filterDir)
       val maybeSeen = routed.filter(might)
@@ -394,8 +396,7 @@ object CrawlPipeline {
     }
     val candidates =
       if (revisit) fullFrontier
-      else selectCandidates(spark, tableRoot, fullFrontier, seenOpt,
-        seenFilters, bloomDir)
+      else selectCandidates(spark, tableRoot, fullFrontier, seenOpt, seenFilters)
 
     // fixture-scale run slice of the golden order (kill/resume simulation)
     val sliced = limit match {

@@ -71,7 +71,10 @@ object EventStream {
     while (v.exists(_ >= 0)) {
       val snap =
         try store.readSnapshot(v.get)
-        catch { case _: java.io.IOException => return None } // expired history
+        // ONLY missing manifests read as expired history; any other IO
+        // error stays loud (swallowing it would silently disable the
+        // replay guard and double-append a committed batch)
+        catch { case _: java.nio.file.NoSuchFileException => return None }
       snap.metrics.get("batch_id") match {
         case some @ Some(_) => return some
         case None => v = Some(snap.parentVersion).filter(_ >= 0)

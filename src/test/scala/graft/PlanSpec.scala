@@ -228,8 +228,7 @@ class PlanSpec extends SparkTestBase {
     P.run(spark, dir, root, Some(120L))
     val fullFrontier = P.robotsAllowed(P.frontier(spark, dir))
     val candidates = P.selectCandidates(spark, root, fullFrontier,
-      P.urlSeenStore(root).read(spark), graft.frontier.SeenFilters.bloom,
-      s"$root/bloom")
+      P.urlSeenStore(root).read(spark), graft.frontier.SeenFilters.bloom)
     val qe = candidates.queryExecution
     qe.executedPlan.execute().foreachPartition((_: Iterator[_]) => ())
     val p = qe.executedPlan.toString + "\n" +
