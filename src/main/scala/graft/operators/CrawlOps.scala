@@ -338,7 +338,26 @@ object CrawlOps {
     * Scale: one shuffle on unit_path shared by the window and both
     * aggregations; no global sort, no driver state.
     */
-  def crawlingMeta(events: DataFrame): DataFrame = {
+  def crawlingMeta(events: DataFrame): DataFrame =
+    metaState(events).select(MetaPublicCols.map(col): _*)
+
+  /** The seven user-facing CrawlingMeta columns (the rest of `metaState` is
+    * internal merge state).
+    */
+  val MetaPublicCols: Seq[String] = Seq("unit_path", "visits", "first_visited",
+    "last_visited", "last_successfully_visited", "changes", "last_detected_change")
+
+  /** Full per-unit CrawlingMeta state over an event-log SEGMENT (any
+    * contiguous run_seq range). Beyond the public columns it carries the
+    * boundary state that makes two adjacent segments' states MERGEABLE
+    * (`mergeMetaStates`): the first/last successful content hashes and the
+    * first successful run_seq — a change across a segment boundary is
+    * exactly `left.last_ok_hash != right.first_ok_hash`, detected at
+    * `right.first_ok_seq`. This is what lets the compacted summary absorb
+    * the event history: CrawlingMeta over (summary ∪ delta) ≡ over the full
+    * log, without ever re-folding compacted events.
+    */
+  def metaState(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("unit_path").orderBy("run_seq")
     val ok = events.filter(col("status") === "ok")
       .withColumn("prev_hash", lag(col("content_hash"), 1).over(w))
@@ -347,7 +366,10 @@ object CrawlOps {
     val okAgg = ok.groupBy("unit_path").agg(
       max(col("run_seq")).as("last_successfully_visited"),
       sum(when(col("changed"), 1L).otherwise(0L)).as("ok_changes"),
-      max(when(col("changed"), col("run_seq"))).as("last_detected_change"))
+      max(when(col("changed"), col("run_seq"))).as("last_detected_change"),
+      min_by(col("content_hash"), col("run_seq")).as("first_ok_hash"),
+      min(col("run_seq")).as("first_ok_seq"),
+      max_by(col("content_hash"), col("run_seq")).as("last_ok_hash"))
     events.groupBy("unit_path").agg(
       count(lit(1)).as("visits"),
       min(col("run_seq")).as("first_visited"),
@@ -356,6 +378,39 @@ object CrawlOps {
       .select(col("unit_path"), col("visits"), col("first_visited"),
         col("last_visited"), col("last_successfully_visited"),
         coalesce(col("ok_changes"), lit(0L)).as("changes"),
-        col("last_detected_change"))
+        col("last_detected_change"),
+        col("first_ok_hash"), col("first_ok_seq"), col("last_ok_hash"))
+  }
+
+  /** Merge two adjacent meta-state segments (every run_seq in `left`
+    * precedes every run_seq in `right` — the summary/delta shape). Counters
+    * add, extremes coalesce in segment order, and the one cross-boundary
+    * change (hash differs across the seam) is counted at the right
+    * segment's first successful visit.
+    */
+  def mergeMetaStates(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.columns.filter(_ != "unit_path")
+      .foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+    val r = right.columns.filter(_ != "unit_path")
+      .foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+    val boundary = col("l_last_ok_hash").isNotNull &&
+      col("r_first_ok_hash").isNotNull &&
+      col("l_last_ok_hash") =!= col("r_first_ok_hash")
+    l.join(r, Seq("unit_path"), "full_outer").select(
+      col("unit_path"),
+      (coalesce(col("l_visits"), lit(0L)) + coalesce(col("r_visits"), lit(0L)))
+        .as("visits"),
+      coalesce(col("l_first_visited"), col("r_first_visited")).as("first_visited"),
+      coalesce(col("r_last_visited"), col("l_last_visited")).as("last_visited"),
+      coalesce(col("r_last_successfully_visited"), col("l_last_successfully_visited"))
+        .as("last_successfully_visited"),
+      (coalesce(col("l_changes"), lit(0L)) + coalesce(col("r_changes"), lit(0L)) +
+        when(boundary, 1L).otherwise(0L)).as("changes"),
+      coalesce(col("r_last_detected_change"),
+        when(boundary, col("r_first_ok_seq")),
+        col("l_last_detected_change")).as("last_detected_change"),
+      coalesce(col("l_first_ok_hash"), col("r_first_ok_hash")).as("first_ok_hash"),
+      coalesce(col("l_first_ok_seq"), col("r_first_ok_seq")).as("first_ok_seq"),
+      coalesce(col("r_last_ok_hash"), col("l_last_ok_hash")).as("last_ok_hash"))
   }
 }

@@ -91,8 +91,13 @@ object CrawlPipeline {
       // bucket rides through the fold (it is a pure function of unit_path,
       // so grouping by both adds no keys) and drives the partition layout;
       // the SAME foldResolution feeds the per-run delta fold, so summary
-      // and delta can never disagree on resolution semantics
+      // and delta can never disagree on resolution semantics. The summary
+      // also stores the full CrawlingMeta state (CrawlOps.metaState) so
+      // BOTH consumers of the event log — exclusion AND crawlingMeta — can
+      // absorb compacted history (joined on the same unit_path key; the
+      // shuffles align)
       val summary = foldResolution(events, Seq("bucket", "unit_path"))
+        .join(graft.operators.CrawlOps.metaState(events), Seq("unit_path"))
       val store = urlSeenSummaryStore(tableRoot)
       store.replace(spark, summary, "bucket",
         Map("covered_version" -> coveredVersion), clusterBeforeWrite = true)
@@ -573,6 +578,32 @@ object CrawlPipeline {
   def crawlingMeta(spark: SparkSession, tableRoot: String): Option[DataFrame] =
     urlSeenStore(tableRoot).read(spark)
       .map(graft.operators.CrawlOps.crawlingMeta)
+
+  /** CrawlingMeta with the compacted summary absorbing history: identical
+    * output to `crawlingMeta`, but only events NEWER than the summary's
+    * covered version are window-folded — the compacted past comes from the
+    * summary's stored meta state, merged across the seam by
+    * `CrawlOps.mergeMetaStates` (cross-boundary hash changes included). At
+    * sustained 10^10 scale this is the reporting twin of the summary-first
+    * exclusion: neither consumer ever re-folds compacted events.
+    */
+  def crawlingMetaCompacted(spark: SparkSession, tableRoot: String): Option[DataFrame] =
+    urlSeenStore(tableRoot).read(spark).map { events =>
+      val summaryState = for {
+        snap <- urlSeenSummaryStore(tableRoot).currentSnapshot
+        covered <- snap.metrics.get("covered_version")
+        df <- urlSeenSummaryStore(tableRoot).read(spark)
+      } yield (df, covered)
+      summaryState match {
+        case None => graft.operators.CrawlOps.crawlingMeta(events)
+        case Some((summaryDf, covered)) =>
+          val delta = graft.operators.CrawlOps.metaState(
+            events.filter(col("run_seq") > covered))
+          graft.operators.CrawlOps.mergeMetaStates(
+            summaryDf.drop("bucket", "perm", "n_err"), delta)
+            .select(graft.operators.CrawlOps.MetaPublicCols.map(col): _*)
+      }
+    }
 
   /** Run to exhaustion (all frontier units either seen or error),
     * `limit`-sized slices per run. Returns the per-run summaries.

@@ -356,6 +356,45 @@ class CrawlPipelineSpec extends SparkTestBase {
     assert(okMeta.filter(col("visits") =!= 1).count() == 0)
   }
 
+  test("crawlingMetaCompacted ≡ crawlingMeta: the summary absorbs the " +
+      "compacted history incl. a cross-seam content change") {
+    val root = freshRoot()
+    CrawlPipeline.run(spark, storeDir, root) // run 1
+    // summary covers run 1 — the change below lands AFTER the seam
+    assert(CrawlPipeline.compactUrlSeen(spark, root).contains(0L))
+    val mutatedDir = Files.createTempDirectory("graft-store-mut2").toString
+    spark.read.parquet(storeDir)
+      .withColumn("mid", regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long"))
+      .withColumn("phash",
+        when(pmod(col("mid"), lit(10)) === 0, col("phash") + 1).otherwise(col("phash")))
+      .drop("mid")
+      .write.mode("overwrite").parquet(mutatedDir)
+    CrawlPipeline.run(spark, mutatedDir, root, revisit = true) // run 2: change
+    CrawlPipeline.run(spark, mutatedDir, root, revisit = true) // run 3: stable
+    def asTuples(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[String]("unit_path"), r.getAs[Long]("visits"),
+        r.getAs[Long]("first_visited"), r.getAs[Long]("last_visited"),
+        Option(r.getAs[java.lang.Long]("last_successfully_visited")),
+        r.getAs[Long]("changes"),
+        Option(r.getAs[java.lang.Long]("last_detected_change")))).toSet
+    val full = asTuples(CrawlPipeline.crawlingMeta(spark, root).get)
+    val fast = asTuples(CrawlPipeline.crawlingMetaCompacted(spark, root).get)
+    assert(fast == full, "summary+delta meta must equal the full fold")
+    // the cross-seam change IS in there: mutated ok units carry changes=1
+    // detected at run 2 (run_seq 1), visits=3
+    val mutated = (1L to N).filter(id => id % 10 == 0 && id % 103 != 0 &&
+      id % 101 != 0 && id % 997 != 0).map(CrawlPipeline.expectedUnitPath).toSet
+    val m = fast.filter(t => mutated.contains(t._1))
+    assert(m.nonEmpty && m.forall(t => t._6 == 1L && t._7.contains(1L) && t._2 == 3L))
+    // compact again (now covering the change) + one more quiet run: the
+    // seam moves past the change and the equality still holds
+    CrawlPipeline.compactUrlSeen(spark, root)
+    CrawlPipeline.run(spark, mutatedDir, root, revisit = true) // run 4
+    val full2 = asTuples(CrawlPipeline.crawlingMeta(spark, root).get)
+    val fast2 = asTuples(CrawlPipeline.crawlingMetaCompacted(spark, root).get)
+    assert(fast2 == full2)
+  }
+
   test("re-visit: store mutation between runs increments visits/changes and " +
       "stamps last_detected_change (CrawlingMeta, ref data_set.py:17-39)") {
     val root = freshRoot()
