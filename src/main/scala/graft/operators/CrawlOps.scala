@@ -357,7 +357,28 @@ object CrawlOps {
     * the event history: CrawlingMeta over (summary ∪ delta) ≡ over the full
     * log, without ever re-folding compacted events.
     */
-  def metaState(events: DataFrame): DataFrame = {
+  /** Per-unit resolution counters, shared between the pipeline's exclusion
+    * fold and the compaction summary so the two can NEVER disagree on
+    * resolution semantics: `perm` = the unit reached a permanent outcome,
+    * `n_err` = retryable-error attempts recorded.
+    */
+  val resolutionAggs: Seq[Column] = Seq(
+    max(when(col("status").isin("ok", "not_found", "robots_denied"), 1)
+      .otherwise(0)).as("perm"),
+    sum(when(col("status") === "error", 1L).otherwise(0L)).as("n_err"))
+
+  def metaState(events: DataFrame): DataFrame =
+    metaStateImpl(events, withResolution = false)
+
+  /** `metaState` + the resolution counters + the unit's routing bucket, all
+    * folded in the SAME events.groupBy — the compaction shape: one shared
+    * aggregation pass instead of a separate resolution fold joined on a
+    * differently-partitioned key.
+    */
+  def metaStateWithResolution(events: DataFrame): DataFrame =
+    metaStateImpl(events, withResolution = true)
+
+  private def metaStateImpl(events: DataFrame, withResolution: Boolean): DataFrame = {
     val w = Window.partitionBy("unit_path").orderBy("run_seq")
     val ok = events.filter(col("status") === "ok")
       .withColumn("prev_hash", lag(col("content_hash"), 1).over(w))
@@ -370,16 +391,24 @@ object CrawlOps {
       min_by(col("content_hash"), col("run_seq")).as("first_ok_hash"),
       min(col("run_seq")).as("first_ok_seq"),
       max_by(col("content_hash"), col("run_seq")).as("last_ok_hash"))
-    events.groupBy("unit_path").agg(
+    val baseAggs = Seq(
       count(lit(1)).as("visits"),
       min(col("run_seq")).as("first_visited"),
-      max(col("run_seq")).as("last_visited"))
+      max(col("run_seq")).as("last_visited")) ++
+      (if (withResolution)
+        // bucket is a pure function of unit_path — max picks the one value
+        max(col("bucket")).as("bucket") +: resolutionAggs
+      else Seq.empty)
+    val stateCols = Seq(col("unit_path"), col("visits"), col("first_visited"),
+      col("last_visited"), col("last_successfully_visited"),
+      coalesce(col("ok_changes"), lit(0L)).as("changes"),
+      col("last_detected_change"),
+      col("first_ok_hash"), col("first_ok_seq"), col("last_ok_hash")) ++
+      (if (withResolution) Seq(col("bucket"), col("perm"), col("n_err"))
+      else Seq.empty)
+    events.groupBy("unit_path").agg(baseAggs.head, baseAggs.tail: _*)
       .join(okAgg, Seq("unit_path"), "left_outer")
-      .select(col("unit_path"), col("visits"), col("first_visited"),
-        col("last_visited"), col("last_successfully_visited"),
-        coalesce(col("ok_changes"), lit(0L)).as("changes"),
-        col("last_detected_change"),
-        col("first_ok_hash"), col("first_ok_seq"), col("last_ok_hash"))
+      .select(stateCols: _*)
   }
 
   /** Merge two adjacent meta-state segments (every run_seq in `left`

@@ -66,11 +66,24 @@ object CrawlPipeline {
     * max-of-max, sum-of-sum).
     */
   private def foldResolution(events: DataFrame,
-      groupCols: Seq[String] = Seq("unit_path")): DataFrame =
-    events.groupBy(groupCols.map(col): _*).agg(
-      max(when(col("status").isin("ok", "not_found", "robots_denied"), 1)
-        .otherwise(0)).as("perm"),
-      sum(when(col("status") === "error", 1L).otherwise(0L)).as("n_err"))
+      groupCols: Seq[String] = Seq("unit_path")): DataFrame = {
+    val aggs = graft.operators.CrawlOps.resolutionAggs
+    events.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The committed summary pinned to the SNAPSHOT its covered_version came
+    * from (`readAt`, not `read` — a compaction committing between the two
+    * calls must not pair a new summary with a stale covered version, which
+    * would double-count the events in between). Shared by the exclusion
+    * fold and the compacted CrawlingMeta view.
+    */
+  private def summaryWithCovered(spark: SparkSession,
+      tableRoot: String): Option[(DataFrame, Long)] =
+    for {
+      snap <- urlSeenSummaryStore(tableRoot).currentSnapshot
+      covered <- snap.metrics.get("covered_version")
+      df <- urlSeenSummaryStore(tableRoot).readAt(spark, snap.version)
+    } yield (df, covered)
 
   /** Periodic compaction job (run between crawls, like Iceberg table
     * maintenance): fold the whole url_seen event log into the resolved
@@ -85,19 +98,20 @@ object CrawlPipeline {
   def compactUrlSeen(spark: SparkSession, tableRoot: String): Option[Long] = {
     val seen = urlSeenStore(tableRoot)
     for {
-      coveredVersion <- seen.currentVersion
-      events <- seen.read(spark)
+      // events pinned to the SAME snapshot that defines covered_version
+      // (`readAt`): a crawl committing mid-compaction must not leak its
+      // events into a summary stamped with the older version — that would
+      // permanently double-count them in every summary+delta merge
+      snap <- seen.currentSnapshot
+      events <- seen.readAt(spark, snap.version)
     } yield {
-      // bucket rides through the fold (it is a pure function of unit_path,
-      // so grouping by both adds no keys) and drives the partition layout;
-      // the SAME foldResolution feeds the per-run delta fold, so summary
-      // and delta can never disagree on resolution semantics. The summary
-      // also stores the full CrawlingMeta state (CrawlOps.metaState) so
-      // BOTH consumers of the event log — exclusion AND crawlingMeta — can
-      // absorb compacted history (joined on the same unit_path key; the
-      // shuffles align)
-      val summary = foldResolution(events, Seq("bucket", "unit_path"))
-        .join(graft.operators.CrawlOps.metaState(events), Seq("unit_path"))
+      val coveredVersion = snap.version
+      // ONE aggregation pass carries the resolution counters (shared
+      // CrawlOps.resolutionAggs — the per-run delta fold uses the same
+      // expressions, so summary and delta can never disagree), the routing
+      // bucket (partition layout), and the full mergeable CrawlingMeta
+      // state: both event-log consumers absorb compacted history
+      val summary = graft.operators.CrawlOps.metaStateWithResolution(events)
       val store = urlSeenSummaryStore(tableRoot)
       store.replace(spark, summary, "bucket",
         Map("covered_version" -> coveredVersion), clusterBeforeWrite = true)
@@ -329,12 +343,7 @@ object CrawlPipeline {
       val might = seenFilters.predicate(filterDir)
       val maybeSeen = routed.filter(might)
       val candSet = maybeSeen.select("unit_path").distinct()
-      val summaryState = for {
-        snap <- urlSeenSummaryStore(tableRoot).currentSnapshot
-        covered <- snap.metrics.get("covered_version")
-        df <- urlSeenSummaryStore(tableRoot).read(spark)
-      } yield (df, covered)
-      val perUnit = summaryState match {
+      val perUnit = summaryWithCovered(spark, tableRoot) match {
         case None =>
           foldResolution(seenDf.join(candSet, Seq("unit_path"), "left_semi"))
         case Some((summaryDf, covered)) =>
@@ -589,19 +598,18 @@ object CrawlPipeline {
     */
   def crawlingMetaCompacted(spark: SparkSession, tableRoot: String): Option[DataFrame] =
     urlSeenStore(tableRoot).read(spark).map { events =>
-      val summaryState = for {
-        snap <- urlSeenSummaryStore(tableRoot).currentSnapshot
-        covered <- snap.metrics.get("covered_version")
-        df <- urlSeenSummaryStore(tableRoot).read(spark)
-      } yield (df, covered)
-      summaryState match {
-        case None => graft.operators.CrawlOps.crawlingMeta(events)
-        case Some((summaryDf, covered)) =>
+      summaryWithCovered(spark, tableRoot) match {
+        // a summary written before the meta-state widening carries only the
+        // resolution columns — fall back to the full fold instead of
+        // failing resolution on the missing state columns (the next
+        // compaction rewrites the summary at the full schema)
+        case Some((summaryDf, covered)) if summaryDf.columns.contains("visits") =>
           val delta = graft.operators.CrawlOps.metaState(
             events.filter(col("run_seq") > covered))
           graft.operators.CrawlOps.mergeMetaStates(
             summaryDf.drop("bucket", "perm", "n_err"), delta)
             .select(graft.operators.CrawlOps.MetaPublicCols.map(col): _*)
+        case _ => graft.operators.CrawlOps.crawlingMeta(events)
       }
     }
 
