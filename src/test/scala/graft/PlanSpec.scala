@@ -213,6 +213,26 @@ class PlanSpec extends SparkTestBase {
       s"store side is not the bucketed scan:\n$tree")
   }
 
+  test("compaction fold (metaStateWithResolution): one shared key — every " +
+      "shuffle on unit_path, no cartesian/NLJ, base↔ok join needs no realignment") {
+    import spark.implicits._
+    val events = (1L to 5000L).map { i =>
+      val unit = s"host${i % 3}.org/u${i % 500}"
+      val status = if (i % 11 == 0) "error" else "ok"
+      (unit, status, i / 500, i % 7, i % 32)
+    }.toDF("unit_path", "status", "run_seq", "content_hash", "bucket")
+    val qe = graft.operators.CrawlOps.metaStateWithResolution(events).queryExecution
+    qe.executedPlan.execute().foreachPartition((_: Iterator[_]) => ())
+    val p = qe.executedPlan.toString + "\n" +
+      qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"compaction fold must stay key-joined:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toVector
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(_.contains("unit_path")),
+      s"compaction fold shuffled on an unexpected key:\n${exchanges.mkString("\n")}")
+  }
+
   test("URL-seen exclusion plan (summary-first): key joins only — no cartesian, " +
       "no nested loop, every shuffle on bucket/unit_path") {
     import org.apache.spark.sql.functions._
