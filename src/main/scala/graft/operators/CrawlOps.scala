@@ -72,29 +72,26 @@ object CrawlOps {
     */
   def globalRank(df: DataFrame, rankCol: String, keys: Column*): DataFrame = {
     val spark = df.sparkSession
-    val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
-    val ranged = df.repartitionByRange(parts, keys: _*)
-      .withColumn("__pid", spark_partition_id())
-      // persist so the count pass and the rank pass see the SAME sampling-
-      // derived range boundaries
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = ranged.groupBy("__pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until parts).scanLeft(0L) { case (acc, pid) =>
-      acc + counts.getOrElse(pid, 0L)
+    // sort + zipWithIndex: the RDD lineage fixes the range boundaries ONCE
+    // (the partitioner is created with the shuffle dependency), and
+    // zipWithIndex's two internal jobs — per-partition counts, then the
+    // offset map — run over that same lineage with the sorted shuffle
+    // output reused. A previous DataFrame-native form (repartitionByRange +
+    // persist + count + window + offset join) was WRONG under lazy
+    // execution: the persisted ranged data could be evicted/unpersisted
+    // before the rank pass ran, and re-executing the range exchange
+    // RESAMPLES its boundaries — offsets from the first sampling paired
+    // with row_numbers from the second (caught by the sf0.1 oracle run;
+    // invisible at sf0.01 where execution won the unpersist race).
+    // Rank stays LONG — an int rank would wrap past 2^31 rows, exactly the
+    // scale regime this distributed form exists for.
+    val sorted = df.sort(keys: _*)
+    val schema = sorted.schema.add(rankCol, org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val ranked = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
     }
-    import spark.implicits._
-    val offsetsDf = (0 until parts).map(pid => (pid, offsets(pid))).toDF("__pid", "__off")
-    val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)
-    val out = ranged
-      .withColumn("__rn", row_number().over(w).cast("long"))
-      .join(broadcast(offsetsDf), Seq("__pid"))
-      // rank stays LONG — an int rank would wrap past 2^31 rows, exactly
-      // the scale regime this distributed form exists for
-      .withColumn(rankCol, col("__off") + col("__rn"))
-      .drop("__pid", "__rn", "__off")
-    ranged.unpersist(blocking = false)
-    out
+    spark.createDataFrame(ranked, schema)
   }
 
   /** Golden serial crawl order (SURVEY §2.5 W1): rank over
