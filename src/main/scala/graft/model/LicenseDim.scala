@@ -108,7 +108,10 @@ object LicenseDim {
     * the tiny dimension; `df` never shuffles.
     */
   def resolve(spark: SparkSession, df: DataFrame, rawCol: String): DataFrame = {
-    val dim = licenses(spark).cache()
+    // session-scoped singleton: the dimension is cached ONCE per session
+    // (repeated resolve calls used to re-ask the CacheManager per call —
+    // warning noise + storage entries nothing unpersisted)
+    val dim = graft.PlanCache.cached(spark, "license-dim")(licenses(spark))
     val byId = dim.select(col("norm_id"), col("license_id").as("spdx_by_id"),
       col("is_blocked").as("blocked_by_id"), col("is_osi_approved").as("osi_by_id"))
     val byName = dim.select(col("norm_name"), col("license_id").as("spdx_by_name"),

@@ -122,11 +122,15 @@ object TextOps {
     * 8-byte longs (one n-gram definition for both forms).
     */
   def shingles(spark: SparkSession, sfDir: String, n: Int = 5,
+      hashed: Boolean = false): DataFrame =
+    shinglesOf(docs(spark, sfDir), n, hashed)
+
+  def shinglesOf(docsDf: DataFrame, n: Int = 5,
       hashed: Boolean = false): DataFrame = {
     val words = split(trim(lower(col("text"))), "\\s+")
     val gram = s"concat_ws(' ', slice(words, i, $n))"
     val element = if (hashed) s"xxhash64($gram)" else gram
-    docs(spark, sfDir)
+    docsDf
       .select(col("doc_id"), words.as("words"))
       .filter(size(col("words")) >= n)
       .select(col("doc_id"),
@@ -154,8 +158,10 @@ object TextOps {
     // strings — the dedup/df/index joins all shuffle longs (the string
     // form shuffled ~30 bytes/shingle 3×; identical counts modulo 64-bit
     // collisions, whose any-collision probability at 10^7 distinct
-    // shingles is ~5e-6)
-    val sh = shingles(spark, sfDir, hashed = true).cache()
+    // shingles is ~5e-6). Session-memoized cache: one CacheManager entry
+    // per (dir) no matter how many times the query runs.
+    val sh = graft.PlanCache.cached(spark, s"shingles:$sfDir")(
+      shingles(spark, sfDir, hashed = true))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
@@ -181,13 +187,16 @@ object TextOps {
     * explode→groupBy formulation shuffles k longs per shingle; this one
     * never leaves the scan task). Same signature values either way.
     */
-  def minhashSignatures(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
+  def minhashSignatures(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame =
+    minhashSignaturesOf(docs(spark, sfDir), k)
+
+  def minhashSignaturesOf(docsDf: DataFrame, k: Int = 64): DataFrame = {
     val words = split(trim(lower(col("text"))), "\\s+")
     val n = 5
     val sigCols = (0 until k).map { i =>
       expr(s"array_min(transform(shingles, s -> xxhash64($i, s)))").as(s"mh_$i")
     }
-    docs(spark, sfDir)
+    docsDf
       .select(col("doc_id"), words.as("words"))
       .filter(size(col("words")) >= n)
       .withColumn("shingles", expr(
@@ -201,9 +210,18 @@ object TextOps {
     * bucket join is the only shuffle and AQE handles skewed buckets.
     */
   def minhashLsh(spark: SparkSession, sfDir: String,
+      k: Int = 64, bands: Int = 16, minEqPermille: Int = 500): DataFrame =
+    minhashLshOf(spark, docs(spark, sfDir), s"dir:$sfDir", k, bands, minEqPermille)
+
+  /** `minhashLsh` over an explicit documents DataFrame. `cacheKey` names
+    * the session-memoized signature cache (one CacheManager entry per key —
+    * repeated invocations reuse instead of re-caching).
+    */
+  def minhashLshOf(spark: SparkSession, docsDf: DataFrame, cacheKey: String,
       k: Int = 64, bands: Int = 16, minEqPermille: Int = 500): DataFrame = {
     val rowsPerBand = k / bands
-    val sig = minhashSignatures(spark, sfDir, k).cache()
+    val sig = graft.PlanCache.cached(spark, s"minhash-sig:$cacheKey:$k")(
+      minhashSignaturesOf(docsDf, k))
     val sigCols = (0 until k).map(i => col(s"mh_$i"))
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
@@ -232,8 +250,11 @@ object TextOps {
     * weighted by term frequency; sign of the vote sum forms the 64-bit
     * fingerprint. Pure expression pipeline (explode → groupBy), no UDF.
     */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = docs(spark, sfDir)
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashOf(docs(spark, sfDir))
+
+  def simhashOf(docsDf: DataFrame): DataFrame = {
+    val words = docsDf
       .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       .withColumn("h", xxhash64(col("word")))
@@ -252,8 +273,13 @@ object TextOps {
     * limited by 16-bit block keys (pigeonhole: distance ≤3 ⇒ at least one of
     * 4 blocks equal), so the join is an inverted-index join, not a cross.
     */
-  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(spark, sfDir).cache()
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame =
+    simhashPairsOf(spark, docs(spark, sfDir), s"dir:$sfDir", maxHamming)
+
+  def simhashPairsOf(spark: SparkSession, docsDf: DataFrame, cacheKey: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = graft.PlanCache.cached(spark, s"simhash-sig:$cacheKey")(
+      simhashOf(docsDf))
     val blocks = (0 until 4).map { b =>
       struct(lit(b).as("block"),
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))

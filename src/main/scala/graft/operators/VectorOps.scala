@@ -50,7 +50,13 @@ object VectorOps {
     * path for ANN — candidates only within equal buckets, then exact cosine
     * re-rank. Recall is tested against `annBruteForce` in VectorOpsSpec.
     */
-  def lshBuckets(spark: SparkSession, sfDir: String, nPlanes: Int = 8): DataFrame = {
+  def lshBuckets(spark: SparkSession, sfDir: String, nPlanes: Int = 8): DataFrame =
+    lshBucketsOf(embeddings(spark, sfDir), nPlanes)
+
+  /** `lshBuckets` over an explicit embeddings DataFrame (`vec_id`,
+    * `embedding: array<float>`).
+    */
+  def lshBucketsOf(embDf: DataFrame, nPlanes: Int = 8): DataFrame = {
     val proj = (0 until nPlanes).map { p =>
       // v · plane_p  with plane components ±1 derived from (p, dim index)
       val s = expr(
@@ -60,7 +66,9 @@ object VectorOps {
            |  0D, (acc, v) -> acc + v)""".stripMargin)
       when(s >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    embeddings(spark, sfDir).select(col("vec_id"), col("emb"), proj.as("bucket"))
+    embDf
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select(col("vec_id"), col("emb"), proj.as("bucket"))
   }
 
   /** Embedding-cosine near-duplicate pairs — the dedup-family member over
@@ -98,10 +106,18 @@ object VectorOps {
     * bucket key is the shuffle key; no cross join ever materializes.
     */
   def annLsh(spark: SparkSession, sfDir: String,
+      nQueries: Int = 20, k: Int = 3, nPlanes: Int = 8): DataFrame =
+    annLshOf(spark, spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      s"dir:$sfDir", nQueries, k, nPlanes)
+
+  /** `annLsh` over an explicit embeddings DataFrame; `cacheKey` names the
+    * session-memoized bucketed-vector cache.
+    */
+  def annLshOf(spark: SparkSession, embDf: DataFrame, cacheKey: String,
       nQueries: Int = 20, k: Int = 3, nPlanes: Int = 8): DataFrame = {
-    val b = lshBuckets(spark, sfDir, nPlanes)
-      .withColumn("nrm", sqrt(expr("aggregate(transform(emb, x -> x * x), 0D, (acc, v) -> acc + v)")))
-      .cache()
+    val b = graft.PlanCache.cached(spark, s"ann-lsh-buckets:$cacheKey:$nPlanes")(
+      lshBucketsOf(embDf, nPlanes)
+        .withColumn("nrm", sqrt(expr("aggregate(transform(emb, x -> x * x), 0D, (acc, v) -> acc + v)"))))
     val queries = b.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("nrm").as("qnrm"), col("bucket"))
