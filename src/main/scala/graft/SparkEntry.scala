@@ -20,6 +20,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CrawlOps.crawlOrder(spark, "/root/testdata/sf0.001")
 
+  /** Fixed per-(name, key) scratch table root, RECREATED on each
+    * invocation: repeated Verify/Bench runs reuse the same path instead of
+    * leaking a fresh `Files.createTempDirectory` root per call (VERDICT r3
+    * wrong-list #2), and a crashed previous invocation can never leave
+    * partial state behind.
+    */
+  private def freshRunRoot(name: String, key: Long): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-$name-$key")
+    val f = p.toFile
+    if (f.exists()) scala.reflect.io.Directory(f).deleteRecursively()
+    f.mkdirs()
+    p.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- crawl frontier operators (SURVEY §2.2/2.3/2.5/2.6/2.9) ----
     "q_canonicalize" -> ((s, d) => CrawlOps.canonicalized(s, d)
@@ -146,13 +161,65 @@ object SparkEntry {
     "q_quality" -> ((s, d) => TextOps.quality(s, d)),
     "q_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccard(s, d)),
-    // rows-only (no DuckDB oracle; covered by ScalaTest specs)
-    "q_minhash_lsh" -> ((s, d) => TextOps.minhashLsh(s, d)),
-    "q_simhash" -> ((s, d) => TextOps.simhash(s, d)),
-    "q_simhash_pairs" -> ((s, d) => TextOps.simhashPairs(s, d)),
+    // ---- planted-duplicate corpora (fixtures/PlantedFixtures): the
+    // LSH/simhash family runs over documents whose near-dup pairs exist by
+    // construction, so the expected pair set (and the exact metric values
+    // for normalization-equivalent clones) is closed-form in DuckDB —
+    // independent of Spark's xxhash64. A full-outer join against the
+    // planted set surfaces BOTH misses (detected=0) and false positives
+    // (variant=null) as hash mismatches.
+    "q_minhash_lsh" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = graft.PlanCache.memo(s, s"planted-neardup:$d")(
+        graft.fixtures.PlantedFixtures.nearDupDocs(s, d))
+      TextOps.minhashLshOf(s, docs, s"planted:$d")
+        .join(graft.fixtures.PlantedFixtures.nearDupPairs(s, d),
+          Seq("doc_a", "doc_b"), "full_outer")
+        .select(col("doc_a"), col("doc_b"), col("variant"),
+          when(col("eq_permille").isNotNull, 1L).otherwise(0L).as("detected"),
+          // append clones: the signature-equality fraction is
+          // hash-dependent (true Jaccard ≈ 0.92) — only the exact variants
+          // pin the metric value (identical signatures → 1000 exactly)
+          when(col("variant") === "append", lit(null).cast("long"))
+            .otherwise(col("eq_permille")).as("eq_exact"))
+    }),
+    "q_simhash" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = graft.PlanCache.memo(s, s"planted-bagdup:$d")(
+        graft.fixtures.PlantedFixtures.bagDupDocs(s, d))
+      val sig = graft.PlanCache.cached(s, s"simhash-sig:planted:$d")(
+        TextOps.simhashOf(docs))
+      // bag-preserving clones (case/whitespace/word order) must produce
+      // bit-identical signatures: Hamming distance pinned to 0 per pair
+      graft.fixtures.PlantedFixtures.bagDupPairs(s, d)
+        .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("variant"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+    }),
+    "q_simhash_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = graft.PlanCache.memo(s, s"planted-bagdup:$d")(
+        graft.fixtures.PlantedFixtures.bagDupDocs(s, d))
+      TextOps.simhashPairsOf(s, docs, s"planted:$d")
+        .join(graft.fixtures.PlantedFixtures.bagDupPairs(s, d),
+          Seq("doc_a", "doc_b"), "full_outer")
+        .select(col("doc_a"), col("doc_b"), col("variant"),
+          when(col("hamming").isNotNull, 1L).otherwise(0L).as("detected"),
+          col("hamming").cast("long").as("hamming"))
+    }),
     // ---- training-data pipeline: vectors ----
     "q_ann_cosine" -> ((s, d) => VectorOps.annBruteForce(s, d)),
-    "q_ann_lsh" -> ((s, d) => VectorOps.annLsh(s, d)), // rows-only
+    // hyperplane-LSH ANN over embeddings ∪ planted neighbors (the exact
+    // copy and the ×2.0f copy of each query vector): both land in the
+    // query's bucket with bit-identical cosine (power-of-two scaling is
+    // exact through every fp intermediate), so ranks 1 and 2 are the
+    // closed-form planted ids — see PlantedFixtures
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = graft.PlanCache.memo(s, s"planted-emb:$d")(
+        graft.fixtures.PlantedFixtures.plantedEmbeddings(s, d))
+      VectorOps.annLshOf(s, emb, s"planted:$d", nQueries = 20, k = 2)
+    }),
     // the synthetic embeddings carry no true duplicates (max in-block cosine
     // ≈0.47), so the query runs the operator at a 0.3 threshold to exercise
     // the pair-emitting path with oracle-checked rows
@@ -286,20 +353,31 @@ object SparkEntry {
         graft.serialize.RdfSerializer.tripleRows(p, cm)
       }.toDF()
     }),
+    // image decode + metadata extraction over the synthetic store, with
+    // the store dumped to a fixed parquet path so DuckDB can read the SAME
+    // rows: the decode-extracted (w, h, fmt_guess, phash) must round-trip
+    // the stored metadata exactly (store phash is computed over decoded
+    // pixels — SyntheticStore.row)
     "q_multimodal_featurize" -> ((s, d) => {
       val n = s.read.parquet(s"$d/part.parquet").count()
-      val store = graft.fixtures.SyntheticStore.generate(s, math.min(n, 500L), 8)
+      val dumpDir = "/tmp/graft_mm_store"
+      graft.fixtures.SyntheticStore.generate(s, math.min(n, 500L), 8)
+        .write.mode("overwrite").parquet(dumpDir)
+      val store = s.read.parquet(dumpDir)
       MultimodalOps.featurizeImages(s, store).drop("thumbnail", "embedding")
     }),
     // full crawl pipeline end-to-end (frontier → bloom dedup → robots →
     // politeness fetch → normalize+invariants → snapshot commits); output =
-    // the deterministic fetch log. rows-only (resume/invariant assertions
-    // live in CrawlPipelineSpec).
+    // the deterministic fetch log, oracle-checked against the closed-form
+    // multi-host schedule (the six-family generalization of the
+    // q_fetch_schedule oracle: pos/scheduled/completed/retries/status are
+    // all arithmetic over the id residues + per-host politeness cumsum).
+    // Resume/invariant assertions live in CrawlPipelineSpec.
     "q_crawl_e2e" -> ((s, d) => {
       val n = s.read.parquet(s"$d/part.parquet").count()
       val storeDir = s"/tmp/graft_e2e_store_$n"
       graft.fixtures.SyntheticStore.ensureOnDisk(s, storeDir, n)
-      val root = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+      val root = freshRunRoot("e2e", n)
       graft.pipeline.CrawlPipeline.run(s, storeDir, root)
       graft.pipeline.CrawlPipeline.fetchLogStore(root).read(s).get
         .select("unit_path", "hosting_id", "id", "pos", "scheduled_ms",
@@ -317,7 +395,7 @@ object SparkEntry {
       val n = s.read.parquet(s"$d/part.parquet").count()
       val storeDir = s"/tmp/graft_e2e_store_$n" // shared with q_crawl_e2e
       graft.fixtures.SyntheticStore.ensureOnDisk(s, storeDir, n)
-      val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      val root = freshRunRoot("compact", n)
       graft.pipeline.CrawlPipeline.runUntilDone(s, storeDir, root,
         math.max(1L, n / 3), compactEvery = 2)
       graft.pipeline.CrawlPipeline.compactUrlSeen(s, root)
@@ -1029,6 +1107,98 @@ object SparkEntry {
         |  FROM b a JOIN b c ON a.block = c.block AND a.vec_id < c.vec_id)
         |SELECT id_a, id_b, CAST(floor(cos * 1000) AS BIGINT) AS cos_permille
         |FROM p WHERE floor(cos * 1000) >= 300""".stripMargin,
+    // the crawl e2e fetch log is closed-form: unit_path/hosting from the
+    // id residue (six families), status/retries from the outcome residues
+    // (precedence robots %103 → not_found %101 → transient-ok %97 →
+    // error %997), pos = row_number per host in id order (priority is
+    // constant per host), and the virtual-clock schedule = per-host
+    // cumulative sum of (retries+1) × interval over non-denied rows
+    // (robots-denied rows consume no politeness slot: scheduled =
+    // completed = clock so far)
+    "q_crawl_e2e" ->
+      """WITH ids AS (
+        |  SELECT unnest(generate_series(1, (SELECT count(*) FROM part))) AS id),
+        |t AS (
+        |  SELECT id,
+        |    CASE id % 7
+        |      WHEN 1 THEN 'github.com/owner' || (id % 10) || '/repo' || id || '/main/okh.toml'
+        |      WHEN 2 THEN 'oshwa.org/' || printf('us%06d', id)
+        |      WHEN 3 THEN 'appropedia.org/Project_' || id
+        |      WHEN 5 THEN 'gitlab.com/group' || (id % 3) || '/proj' || id || '/main/okh.toml'
+        |      WHEN 6 THEN 'codeberg.org/org' || (id % 4) || '/unit' || id || '/main/okh.toml'
+        |      ELSE 'thingiverse.com/' || CAST(id // 10000 AS VARCHAR) || '/' || id
+        |    END AS unit_path,
+        |    CASE id % 7
+        |      WHEN 1 THEN 'github.com' WHEN 2 THEN 'oshwa.org'
+        |      WHEN 3 THEN 'appropedia.org' WHEN 5 THEN 'gitlab.com'
+        |      WHEN 6 THEN 'codeberg.org' ELSE 'thingiverse.com' END AS hosting_id,
+        |    CASE id % 7 WHEN 3 THEN 1000 WHEN 0 THEN 1000 WHEN 4 THEN 1000
+        |      ELSE 5000 END AS interval_ms,
+        |    (id % 103 = 0) AS denied,
+        |    CASE WHEN id % 103 = 0 THEN 'robots_denied'
+        |         WHEN id % 101 = 0 THEN 'not_found'
+        |         WHEN id % 97 = 0 THEN 'ok'
+        |         WHEN id % 997 = 0 THEN 'error'
+        |         ELSE 'ok' END AS status,
+        |    CASE WHEN id % 103 = 0 OR id % 101 = 0 THEN 0
+        |         WHEN id % 97 = 0 THEN 2
+        |         WHEN id % 997 = 0 THEN 3
+        |         ELSE 0 END AS retries
+        |  FROM ids),
+        |w AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY hosting_id ORDER BY id) AS BIGINT) AS pos,
+        |    CAST(sum(CASE WHEN denied THEN 0 ELSE (retries + 1) * interval_ms END)
+        |      OVER (PARTITION BY hosting_id ORDER BY id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT unit_path, hosting_id, CAST(id AS BIGINT) AS id, pos,
+        |  CASE WHEN denied THEN cum
+        |       ELSE cum - (retries + 1) * interval_ms END AS scheduled_ms,
+        |  cum AS completed_ms,
+        |  CAST(retries AS BIGINT) AS retries, status
+        |FROM w""".stripMargin,
+    // planted near-dup corpus (PlantedFixtures.nearDupDocs): exactly the
+    // even-key clone pairs are detected; exact variants pin eq = 1000
+    "q_minhash_lsh" ->
+      """SELECT p_partkey AS doc_a, p_partkey + 10000000 AS doc_b,
+        |  CASE (p_partkey // 2) % 3 WHEN 0 THEN 'upper'
+        |       WHEN 1 THEN 'space' ELSE 'append' END AS variant,
+        |  CAST(1 AS BIGINT) AS detected,
+        |  CAST(CASE WHEN (p_partkey // 2) % 3 = 2 THEN NULL ELSE 1000 END
+        |       AS BIGINT) AS eq_exact
+        |FROM part WHERE p_partkey % 2 = 0""".stripMargin,
+    // bag-preserving clones (case/whitespace/word order) have bit-identical
+    // SimHash: Hamming pinned to 0 per planted pair
+    "q_simhash" ->
+      """SELECT p_partkey AS doc_a, p_partkey + 10000000 AS doc_b,
+        |  CASE (p_partkey // 2) % 3 WHEN 0 THEN 'upper'
+        |       WHEN 1 THEN 'space' ELSE 'reverse' END AS variant,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM part WHERE p_partkey % 2 = 0""".stripMargin,
+    "q_simhash_pairs" ->
+      """SELECT p_partkey AS doc_a, p_partkey + 10000000 AS doc_b,
+        |  CASE (p_partkey // 2) % 3 WHEN 0 THEN 'upper'
+        |       WHEN 1 THEN 'space' ELSE 'reverse' END AS variant,
+        |  CAST(1 AS BIGINT) AS detected,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM part WHERE p_partkey % 2 = 0""".stripMargin,
+    // planted ANN neighbors: the exact clone (+1e7) and the ×2 clone
+    // (+2e7) of each query vector tie at cosine ≈ 1.0 bit-for-bit (exact
+    // power-of-two fp scaling), so the id tie-break fixes ranks 1/2
+    "q_ann_lsh" ->
+      """SELECT vec_id AS qid, vec_id + 10000000 AS neighbor_id,
+        |       CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 20
+        |UNION ALL
+        |SELECT vec_id AS qid, vec_id + 20000000 AS neighbor_id,
+        |       CAST(2 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+    // the Spark query dumps the synthetic store to this fixed path before
+    // featurizing; decode-extracted metadata must equal the stored columns
+    "q_multimodal_featurize" ->
+      """SELECT image_id, w, h, fmt AS fmt_guess, phash
+        |FROM read_parquet('/tmp/graft_mm_store/*.parquet')""".stripMargin,
     "q_ann_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

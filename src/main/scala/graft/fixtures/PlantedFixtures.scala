@@ -1,0 +1,128 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate corpora for the near-dup/LSH operator family
+  * (VERDICT r3 next-round #1): synthetic documents/embeddings where the
+  * near-duplicate pairs exist BY CONSTRUCTION, so the expected output of
+  * MinHash-LSH / SimHash / hyperplane-LSH ANN is a closed-form set —
+  * engine-independent, expressible in DuckDB without replicating Spark's
+  * xxhash64.
+  *
+  * Construction rules that make the expectation exact:
+  *  - Base documents use pairwise-DISJOINT vocabularies (every word embeds
+  *    its key), so no two base docs share a shingle, a minhash component,
+  *    or a band bucket: false-positive candidates are impossible (only a
+  *    64-bit hash collision between different strings could create one).
+  *  - `upper` / `space` clones are IDENTICAL to their base after the
+  *    operators' own normalization (lower + \s+ split) → identical shingle
+  *    sets → identical signatures: eq_permille = 1000 and Hamming = 0
+  *    exactly, for any hash function.
+  *  - `reverse` clones (simhash corpus) permute word ORDER only: the
+  *    unigram bag is unchanged → identical SimHash, Hamming = 0 exactly.
+  *  - `append` clones (minhash corpus) add `AppendWords` fresh words to a
+  *    `BaseWords`-word doc: true Jaccard = (BaseWords-4)/(BaseWords+
+  *    AppendWords-4) ≈ 0.92, so every 4-row band matches with p ≈ 0.71 and
+  *    the 16-band miss probability is (1-0.71)^16 ≈ 2.6e-9 — plus the
+  *    corpus is FIXED (deterministic hashes), so detection is verified
+  *    once per scale and then stable forever.
+  *  - Embedding clones are the exact vector (offset `CloneExact`) and the
+  *    vector scaled by 2.0f (offset `CloneScaled`). Scaling by a power of
+  *    two is EXACT in IEEE float/double, and every operator intermediate
+  *    (elementwise products, running sums, sqrt of a 4×-scaled sum) scales
+  *    by the same exact power of two — so both clones land in the query's
+  *    bucket with BIT-IDENTICAL cosine ≈ 1.0, and the (sim desc,
+  *    neighbor_id) tie-break puts CloneExact at rank 1, CloneScaled at
+  *    rank 2, deterministically.
+  */
+object PlantedFixtures {
+
+  /** doc_id offset of a clone relative to its base key (beyond any
+    * p_partkey/vec_id in the test data).
+    */
+  val CloneOffset = 10000000L
+  /** vec_id offsets for the two embedding clones. */
+  val CloneExact = 10000000L
+  val CloneScaled = 20000000L
+
+  val BaseWords = 60
+  val AppendWords = 5
+
+  private def partKeys(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/part.parquet").select(col("p_partkey").as("k"))
+
+  /** Base text for key k: `BaseWords` words `w<k>x<i>` — vocabulary
+    * disjoint across keys.
+    */
+  private val baseTextExpr =
+    expr(s"array_join(transform(sequence(0, ${BaseWords - 1}), " +
+      "i -> concat('w', k, 'x', i)), ' ')")
+
+  private def withVariant(variants: Seq[String]) =
+    element_at(array(variants.map(lit): _*),
+      (pmod(floor(col("k") / 2), lit(variants.size)).cast("int") + 1))
+
+  private def corpus(spark: SparkSession, sfDir: String,
+      variants: Seq[String], cloneText: Column): DataFrame = {
+    val base = partKeys(spark, sfDir).withColumn("text", baseTextExpr)
+    val clones = base.filter(pmod(col("k"), lit(2)) === 0)
+      .withColumn("variant", withVariant(variants))
+      .select((col("k") + CloneOffset).as("doc_id"), cloneText.as("text"))
+    base.select(col("k").as("doc_id"), col("text")).unionByName(clones)
+  }
+
+  /** Shingle-family corpus (MinHash/LSH): order-preserving variants
+    * upper / space / append. Clones exist for even keys only — odd keys
+    * are the planted NEGATIVES (must never pair with anything).
+    */
+  def nearDupDocs(spark: SparkSession, sfDir: String): DataFrame =
+    corpus(spark, sfDir, Seq("upper", "space", "append"),
+      when(col("variant") === "upper", upper(col("text")))
+        .when(col("variant") === "space",
+          regexp_replace(col("text"), " ", "  "))
+        .otherwise(concat(col("text"), lit(" "),
+          expr(s"array_join(transform(sequence(0, ${AppendWords - 1}), " +
+            "i -> concat('z', k, 'a', i)), ' ')"))))
+
+  /** Bag-of-words corpus (SimHash): variants upper / space / reverse —
+    * all three preserve the unigram bag exactly, so clone SimHash ==
+    * base SimHash bit-for-bit.
+    */
+  def bagDupDocs(spark: SparkSession, sfDir: String): DataFrame =
+    corpus(spark, sfDir, Seq("upper", "space", "reverse"),
+      when(col("variant") === "upper", upper(col("text")))
+        .when(col("variant") === "space",
+          regexp_replace(col("text"), " ", "  "))
+        .otherwise(expr("array_join(reverse(split(text, ' ')), ' ')")))
+
+  /** The planted pair set (doc_a = base key, doc_b = its clone, variant). */
+  def plantedPairs(spark: SparkSession, sfDir: String,
+      variants: Seq[String]): DataFrame =
+    partKeys(spark, sfDir).filter(pmod(col("k"), lit(2)) === 0)
+      .select(col("k").as("doc_a"), (col("k") + CloneOffset).as("doc_b"),
+        withVariant(variants).as("variant"))
+
+  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    plantedPairs(spark, sfDir, Seq("upper", "space", "append"))
+
+  def bagDupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    plantedPairs(spark, sfDir, Seq("upper", "space", "reverse"))
+
+  /** Embeddings ∪ planted neighbors for the first `nQueries` vectors:
+    * the exact copy and the ×2.0f copy (see object doc for why both are
+    * bit-deterministic through the LSH + cosine path).
+    */
+  def plantedEmbeddings(spark: SparkSession, sfDir: String,
+      nQueries: Int = 20): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < nQueries)
+    emb
+      .unionByName(q.select((col("vec_id") + CloneExact).as("vec_id"),
+        col("embedding")))
+      .unionByName(q.select((col("vec_id") + CloneScaled).as("vec_id"),
+        expr("transform(embedding, x -> x * cast(2.0 as float))")
+          .as("embedding")))
+  }
+}

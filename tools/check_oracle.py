@@ -57,12 +57,12 @@ for name in sorted(oracle):
         fails += 1; continue
     print(f"{name}: OK ({len(a)} rows)")
 
-rows_only = [n for n in
-    ["q_minhash_lsh","q_simhash","q_simhash_pairs","q_ann_lsh",
-     "q_multimodal_featurize","q_crawl_e2e"]
-    if glob.glob(f"{out_dir}/{n}/*.parquet")]
-for n in rows_only:
-    n_rows = sum(len(pd.read_parquet(f)) for f in glob.glob(f"{out_dir}/{n}/*.parquet"))
-    print(f"{n}: rows-only ({n_rows} rows)")
+# every SparkEntry query now carries a full DuckDB oracle (round 4): any
+# dumped query directory without an oracle entry is a gate failure, not a
+# silently-weaker rows-only check
+import os
+dumped = {os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)}
+for n in sorted(dumped - set(oracle)):
+    print(f"{n}: NO ORACLE ENTRY"); fails += 1
 
 sys.exit(1 if fails else 0)
