@@ -92,13 +92,14 @@ object FetchStage {
     * max(platform interval, robots delay) (model/Robots.effectiveIntervalMs).
     */
   def politenessWithRobots(base: Map[String, Politeness],
-      robots: Map[String, graft.model.Robots.Policy]): Map[String, Politeness] =
+      robots: Map[String, graft.model.Robots.Policy],
+      fallback: Politeness = FallbackPoliteness): Map[String, Politeness] =
     // hosts present ONLY in the robots map still get an entry (built from
     // the fetch-stage fallback budget) — otherwise a robots Crawl-delay for
     // an unconfigured host would be silently dropped and the host paced with
     // the bare fallback interval
     (base.keySet ++ robots.keySet).iterator.map { host =>
-      val p = base.getOrElse(host, FallbackPoliteness)
+      val p = base.getOrElse(host, fallback)
       host -> p.copy(minIntervalMs = graft.model.Robots.effectiveIntervalMs(
         p.minIntervalMs, robots.getOrElse(host, graft.model.Robots.Allowed)))
     }.toMap
@@ -121,7 +122,8 @@ object FetchStage {
       tasks: Dataset[FetchTask],
       politeness: Map[String, Politeness] = defaultPoliteness,
       outcome: Long => Outcome = defaultOutcome,
-      salts: Map[String, Int] = Map.empty): Dataset[FetchLogRow] = {
+      salts: Map[String, Int] = Map.empty,
+      fallback: Politeness = FallbackPoliteness): Dataset[FetchLogRow] = {
     import spark.implicits._
 
     val nSalts = salts.withDefaultValue(1)
@@ -140,6 +142,7 @@ object FetchStage {
       .withColumn("pos", row_number().over(w).cast("long"))
 
     val politenessBc = spark.sparkContext.broadcast(politeness)
+    val fallbackBc = spark.sparkContext.broadcast(fallback)
     val saltsBc = spark.sparkContext.broadcast(nSalts)
     val outcomeFn = outcome // stable reference for closure capture
 
@@ -162,7 +165,7 @@ object FetchStage {
             FetchLogRow(unitPath, host, id, priority, seq, urlHash, bucket, 0L, pos,
               start0, start0, 0, "robots_denied")
           } else {
-            val p = pol.getOrElse(host, FallbackPoliteness)
+            val p = pol.getOrElse(host, fallbackBc.value)
             // budget split: a host salted into k buckets fetches every
             // k × interval per bucket, preserving the aggregate host rate
             val k = math.max(1, saltN(host))

@@ -333,7 +333,8 @@ object CrawlPipeline {
     */
   def selectCandidates(spark: SparkSession, tableRoot: String,
       fullFrontier: DataFrame, seenOpt: Option[DataFrame],
-      seenFilters: graft.frontier.SeenFilterStore): DataFrame = seenOpt match {
+      seenFilters: graft.frontier.SeenFilterStore,
+      maxErrorRetries: Int = MaxErrorRetries): DataFrame = seenOpt match {
     case None => fullFrontier
     case Some(seenDf) =>
       // the filter directory is a pure function of (tableRoot, kind) —
@@ -357,7 +358,7 @@ object CrawlPipeline {
             .agg(max("perm").as("perm"), sum("n_err").as("n_err"))
       }
       val resolved = perUnit
-        .filter(col("perm") === 1 || col("n_err") >= MaxErrorRetries)
+        .filter(col("perm") === 1 || col("n_err") >= maxErrorRetries)
         .select("unit_path")
       val definitelyNew = routed.filter(!might)
       definitelyNew.unionByName(
@@ -376,7 +377,19 @@ object CrawlPipeline {
       // default; cuckoo adds targeted invalidation (CuckooSeen.removeKeys).
       // Each kind owns its directory, so switching kinds on an existing
       // table root just builds the new kind fresh.
-      seenFilters: graft.frontier.SeenFilterStore = graft.frontier.SeenFilters.bloom
+      seenFilters: graft.frontier.SeenFilterStore = graft.frontier.SeenFilters.bloom,
+      // self-triggering table maintenance (reference parity: the state
+      // rewrite happens on every store, fetcher_state.py:26-51): compact
+      // the url_seen event log into the resolved summary whenever the
+      // uncompacted delta exceeds autoCompactAlpha × summary rows, so the
+      // summary-first exclusion fold's input stays bounded WITHOUT any
+      // caller opting in. <= 0 disables (explicit-maintenance mode).
+      autoCompactAlpha: Double = 1.0,
+      // budgets from the (validated) config layer — defaults reproduce the
+      // shipped constants exactly (CrawlConfig.default)
+      politenessBase: Map[String, FetchStage.Politeness] = FetchStage.defaultPoliteness,
+      fallbackPoliteness: FetchStage.Politeness = FetchStage.FallbackPoliteness,
+      maxErrorRetries: Int = MaxErrorRetries
       ): RunSummary = {
     import spark.implicits._
 
@@ -410,7 +423,8 @@ object CrawlPipeline {
     }
     val candidates =
       if (revisit) fullFrontier
-      else selectCandidates(spark, tableRoot, fullFrontier, seenOpt, seenFilters)
+      else selectCandidates(spark, tableRoot, fullFrontier, seenOpt,
+        seenFilters, maxErrorRetries)
 
     // fixture-scale run slice of the golden order (kill/resume simulation)
     val sliced = limit match {
@@ -423,11 +437,13 @@ object CrawlPipeline {
     // robots Crawl-delay raises the per-host interval to
     // max(platform, robots) (model/Robots.effectiveIntervalMs).
     val politeness =
-      if (robotsTxt.isEmpty) FetchStage.defaultPoliteness
-      else FetchStage.politenessWithRobots(FetchStage.defaultPoliteness,
-        robotsTxt.map { case (h, t) => h -> graft.model.Robots.parse(t) })
+      if (robotsTxt.isEmpty) politenessBase
+      else FetchStage.politenessWithRobots(politenessBase,
+        robotsTxt.map { case (h, t) => h -> graft.model.Robots.parse(t) },
+        fallbackPoliteness)
     val tasks = FetchStage.toTasks(spark, sliced)
-    val log = FetchStage.run(spark, tasks, politeness = politeness, salts = salts).cache()
+    val log = FetchStage.run(spark, tasks, politeness = politeness,
+      salts = salts, fallback = fallbackPoliteness).cache()
 
     // normalize + invariants for fetched units: attach the store payload
     // (broadcast for bounded slices, storage-partitioned at limit=None —
@@ -572,6 +588,20 @@ object CrawlPipeline {
       seenRows.select(col("bucket"), col("url_hash")),
       "bucket", "url_hash", bloomDir, snap.version))
 
+    // auto-compaction policy: events appended since the summary's covered
+    // version, counted from snapshot-manifest metrics alone (no table
+    // scan — one small JSON per commit since the last compaction, a count
+    // the policy itself keeps bounded)
+    if (autoCompactAlpha > 0) {
+      val summarySnap = urlSeenSummaryStore(tableRoot).currentSnapshot
+      val covered = summarySnap.flatMap(_.metrics.get("covered_version")).getOrElse(-1L)
+      val summaryRows = summarySnap.map(_.files.map(_.rows).sum).getOrElse(0L)
+      val deltaRows = ((covered + 1) to snap.version)
+        .map(v => seen.readSnapshot(v).metrics.getOrElse("commit_rows", 0L)).sum
+      if (deltaRows > autoCompactAlpha * math.max(1L, summaryRows))
+        timed("auto compact")(compactUrlSeen(spark, tableRoot))
+    }
+
     log.unpersist()
     RunSummary(
       version = snap.version,
@@ -581,6 +611,28 @@ object CrawlPipeline {
       error = statusCounts.getOrElse("error", 0L),
       robotsDenied = nDenied,
       resultRows = resultRows)
+  }
+
+  /** Config-driven run: every knob from a VALIDATED `CrawlConfig` (the
+    * reference's config-dict path, `config.py:35-117` → `factory.py`) —
+    * budgets, retry bounds, sketch kind, sink toggles, and the compaction
+    * policy all come from user config instead of code constants. Throws on
+    * an invalid config with every violation listed, before any job runs.
+    */
+  def runConfigured(spark: SparkSession, storeDir: String, tableRoot: String,
+      config: graft.CrawlConfig,
+      limit: Option[Long] = None,
+      salts: Map[String, Int] = Map.empty,
+      revisit: Boolean = false,
+      robotsTxt: Map[String, String] = Map.empty): RunSummary = {
+    val c = config.validated
+    run(spark, storeDir, tableRoot, limit, salts,
+      rdfSink = c.rdfSink, rawSink = c.rawSink, revisit = revisit,
+      robotsTxt = robotsTxt, seenFilters = c.seenFilters,
+      autoCompactAlpha = c.autoCompactAlpha,
+      politenessBase = c.politeness,
+      fallbackPoliteness = c.fallbackPoliteness,
+      maxErrorRetries = c.maxErrorRetries)
   }
 
   /** The CrawlingMeta view over this table root's url_seen event log. */
@@ -617,11 +669,13 @@ object CrawlPipeline {
     * `limit`-sized slices per run. Returns the per-run summaries.
     */
   def runUntilDone(spark: SparkSession, storeDir: String, tableRoot: String,
-      limit: Long, compactEvery: Int = 0): Seq[RunSummary] = {
+      limit: Long, compactEvery: Int = 0,
+      autoCompactAlpha: Double = 1.0): Seq[RunSummary] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[RunSummary]
     var keepGoing = true
     while (keepGoing) {
-      val s = run(spark, storeDir, tableRoot, Some(limit))
+      val s = run(spark, storeDir, tableRoot, Some(limit),
+        autoCompactAlpha = autoCompactAlpha)
       out += s
       // periodic table maintenance: fold the event log into the resolved
       // summary every `compactEvery` runs (0 = never)

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.fetch.FetchStage.Politeness
+import graft.fixtures.SyntheticStore
+import graft.pipeline.CrawlPipeline
+
+/** The validated config layer (reference `config.py:35-117` CONFIG_SCHEMA
+  * parity): rule-by-rule rejection, JSON parse with unknown-key errors,
+  * schedule equivalence under the default config, and budget changes
+  * actually driving the politeness schedule.
+  */
+class CrawlConfigSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("default config is valid and reproduces the shipped constants") {
+    assert(CrawlConfig.default.validate.isEmpty)
+    assert(CrawlConfig.default.politeness == graft.fetch.FetchStage.defaultPoliteness)
+    assert(CrawlConfig.default.seenFilters == graft.frontier.SeenFilters.bloom)
+  }
+
+  test("validation reports EVERY violation, cerberus-style") {
+    val bad = CrawlConfig(
+      politeness = Map(
+        "GitHub.com" -> Politeness(5000L, 3), // upper-case host
+        "ok.org" -> Politeness(0L, 99, budgetRequests = 5, windowMs = 0L)),
+      fallbackPoliteness = Politeness(1000L, 3, budgetRequests = 0, windowMs = 7L),
+      maxErrorRetries = 0,
+      seenKind = "xor",
+      autoCompactAlpha = -1.0)
+    val errs = bad.validate
+    assert(errs.exists(_.contains("GitHub.com")), errs.mkString("; "))
+    assert(errs.exists(_.contains("minIntervalMs")), errs.mkString("; "))
+    assert(errs.exists(_.contains("maxRetries")), errs.mkString("; "))
+    assert(errs.exists(_.contains("windowMs must be >= 1")), errs.mkString("; "))
+    assert(errs.exists(_.contains("windowMs requires budgetRequests")))
+    assert(errs.exists(_.contains("maxErrorRetries")))
+    assert(errs.exists(_.contains("seenKind")))
+    assert(errs.exists(_.contains("autoCompactAlpha")))
+    assert(errs.size >= 8)
+    val thrown = intercept[IllegalArgumentException](bad.validated)
+    assert(thrown.getMessage.contains("seenKind"))
+  }
+
+  test("fromJson: defaults-merged parse; unknown keys are errors") {
+    val Right(cfg) = CrawlConfig.fromJson(
+      """{"politeness": {"thingiverse.com": {"min_interval_ms": 2000}},
+        |  "seen_kind": "cuckoo", "auto_compact_alpha": 2.5}""".stripMargin)
+    assert(cfg.politeness("thingiverse.com").minIntervalMs == 2000L)
+    // unspecified politeness fields keep the host's defaults
+    assert(cfg.politeness("thingiverse.com").maxRetries == 3)
+    // unmentioned hosts keep their default budgets (defaults-merged)
+    assert(cfg.politeness("github.com") ==
+      graft.fetch.FetchStage.defaultPoliteness("github.com"))
+    assert(cfg.seenKind == "cuckoo" && cfg.autoCompactAlpha == 2.5)
+
+    val Left(errs) = CrawlConfig.fromJson(
+      """{"politness": {}, "politeness": {"x.org": {"min_intervalms": 9}}}""")
+    assert(errs.exists(_.contains("unknown config key 'politness'")))
+    assert(errs.exists(_.contains("unknown key 'min_intervalms'")))
+    val Left(malformed) = CrawlConfig.fromJson("{nope")
+    assert(malformed.exists(_.contains("malformed")))
+  }
+
+  test("runConfigured: default config ≡ default run; a changed interval " +
+      "re-paces exactly that host's schedule") {
+    val n = 120L
+    val store = Files.createTempDirectory("graft-store-cfg").toString
+    SyntheticStore.ensureOnDisk(spark, store, n)
+    def fetchLog(root: String) =
+      CrawlPipeline.fetchLogStore(root).read(spark).get
+        .select("unit_path", "hosting_id", "pos", "scheduled_ms",
+          "completed_ms", "retries", "status")
+        .as[(String, String, Long, Long, Long, Int, String)].collect().toSet
+
+    val rootDefault = Files.createTempDirectory("graft-cfg-a").toString
+    val rootConfigured = Files.createTempDirectory("graft-cfg-b").toString
+    CrawlPipeline.run(spark, store, rootDefault)
+    CrawlPipeline.runConfigured(spark, store, rootConfigured, CrawlConfig.default)
+    assert(fetchLog(rootDefault) == fetchLog(rootConfigured),
+      "default config changed the schedule")
+
+    // double thingiverse's interval → thingiverse completions pace at
+    // 2000 ms × attempts; every other host's schedule is untouched
+    val cfg = CrawlConfig.default.copy(politeness =
+      CrawlConfig.default.politeness.updated("thingiverse.com",
+        Politeness(2000L, 3)))
+    val rootSlow = Files.createTempDirectory("graft-cfg-c").toString
+    CrawlPipeline.runConfigured(spark, store, rootSlow, cfg)
+    val slow = fetchLog(rootSlow)
+    val thingi = slow.filter(r => r._2 == "thingiverse.com" && r._7 != "robots_denied")
+    assert(thingi.nonEmpty)
+    thingi.foreach { case (_, _, _, scheduled, completed, retries, _) =>
+      assert(completed - scheduled == 2000L * (retries + 1),
+        s"interval not re-paced: $scheduled..$completed retries=$retries")
+    }
+    assert(slow.filter(_._2 != "thingiverse.com") ==
+      fetchLog(rootDefault).filter(_._2 != "thingiverse.com"),
+      "other hosts' schedules must be unchanged")
+  }
+}

@@ -144,16 +144,19 @@ class CrawlPipelineSpec extends SparkTestBase {
     val bigStore = Files.createTempDirectory("graft-store-cmp").toString
     SyntheticStore.ensureOnDisk(spark, bigStore, 1200L)
     val rootA = freshRoot(); val rootB = freshRoot(); val rootC = freshRoot()
-    // A: control, never compacted
-    val sumA = CrawlPipeline.runUntilDone(spark, bigStore, rootA, 500L)
+    // A: control, never compacted (auto-compaction disabled so the raw
+    // event-log fold path stays the comparison baseline)
+    val sumA = CrawlPipeline.runUntilDone(spark, bigStore, rootA, 500L,
+      autoCompactAlpha = 0)
     // B: compacted after EVERY run → each run's exclusion reads the summary
     // with an empty delta
     val sumB = CrawlPipeline.runUntilDone(spark, bigStore, rootB, 500L, compactEvery = 1)
     // C: compacted ONCE after the first slice → later runs merge the stale
     // summary with a growing event delta (run_seq > covered_version)
-    CrawlPipeline.run(spark, bigStore, rootC, Some(500L))
+    CrawlPipeline.run(spark, bigStore, rootC, Some(500L), autoCompactAlpha = 0)
     assert(CrawlPipeline.compactUrlSeen(spark, rootC).contains(0L))
-    val sumC = CrawlPipeline.runUntilDone(spark, bigStore, rootC, 500L)
+    val sumC = CrawlPipeline.runUntilDone(spark, bigStore, rootC, 500L,
+      autoCompactAlpha = 0)
     // identical slice progression and identical final state on all paths
     assert(sumA.map(s => (s.attempted, s.ok, s.error)) ==
       sumB.map(s => (s.attempted, s.ok, s.error)))
@@ -194,6 +197,48 @@ class CrawlPipelineSpec extends SparkTestBase {
     summary.unpersist()
     // a resume run on the compacted root attempts nothing (exhausted)
     assert(CrawlPipeline.run(spark, bigStore, rootB, Some(500L)).attempted == 0)
+  }
+
+  test("auto-compaction: a long runUntilDone with NO compactEvery keeps the " +
+      "uncompacted delta bounded and the summary oracle-equivalent") {
+    val bigStore = Files.createTempDirectory("graft-store-auto").toString
+    SyntheticStore.ensureOnDisk(spark, bigStore, 1200L)
+    val root = freshRoot()
+    // default policy only — nobody passes compactEvery or calls
+    // compactUrlSeen explicitly (the VERDICT r3 gap: maintenance must not
+    // be caller-opt-in)
+    CrawlPipeline.runUntilDone(spark, bigStore, root, 150L)
+    val summarySnap = CrawlPipeline.urlSeenSummaryStore(root).currentSnapshot
+    assert(summarySnap.isDefined, "auto-compaction never produced a summary")
+    val covered = summarySnap.get.metrics("covered_version")
+    val summaryRows = summarySnap.get.files.map(_.rows).sum
+    val seen = CrawlPipeline.urlSeenStore(root)
+    // the uncompacted delta the NEXT run's exclusion fold would read is
+    // bounded by the policy: alpha × summary rows plus at most the last
+    // slice's events (the commit that tripped the trigger compacts, so
+    // only post-trigger commits can remain uncovered)
+    val deltaRows = ((covered + 1) to seen.currentVersion.get)
+      .map(v => seen.readSnapshot(v).metrics.getOrElse("commit_rows", 0L)).sum
+    assert(deltaRows <= summaryRows + 200L,
+      s"delta $deltaRows not bounded by summary $summaryRows")
+    // the auto-maintained summary equals the full fold over the raw log
+    val fromSummary = CrawlPipeline.urlSeenSummaryStore(root).read(spark).get
+      .select("unit_path", "perm", "n_err")
+    val uncovered = seen.read(spark).get.filter(col("run_seq") > covered)
+    val merged = fromSummary.unionByName(
+        uncovered.groupBy("unit_path").agg(
+          max(when(col("status").isin("ok", "not_found", "robots_denied"), 1)
+            .otherwise(0)).as("perm"),
+          sum(when(col("status") === "error", 1L).otherwise(0L)).as("n_err")))
+      .groupBy("unit_path").agg(max("perm").as("perm"), sum("n_err").as("n_err"))
+    val raw = seen.read(spark).get.groupBy("unit_path").agg(
+      max(when(col("status").isin("ok", "not_found", "robots_denied"), 1)
+        .otherwise(0)).as("perm"),
+      sum(when(col("status") === "error", 1L).otherwise(0L)).as("n_err"))
+    assert(merged.as[(String, Int, Long)].collect().toSet ==
+      raw.as[(String, Int, Long)].collect().toSet)
+    // exhaustion state unchanged by the auto-compactions
+    assert(CrawlPipeline.run(spark, bigStore, root, Some(500L)).attempted == 0)
   }
 
   test("cuckoo seen-filter kind: e2e state identical to bloom; targeted " +
