@@ -67,6 +67,16 @@ object Bench {
     // JVM), so the honest in-capacity pair is 2 vs 8; override via env.
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val scale4N = scaleN * 4
+    // URL-seen sketch kind for the crawl scaling runs (north rule names
+    // both): bloom (default) or cuckoo. Cuckoo mode additionally measures
+    // targeted invalidation (removeKeys → re-fetch of exactly those units),
+    // the op the Bloom sketch cannot express.
+    val seenKind = sys.env.getOrElse("SPARK_GRAFT_SEEN", "bloom")
+    val seenFilters = seenKind match {
+      case "cuckoo" => graft.frontier.SeenFilters.cuckoo
+      case "bloom"  => graft.frontier.SeenFilters.bloom
+      case other => sys.error(s"unknown SPARK_GRAFT_SEEN: $other")
+    }
 
     // ---- query suite at the requested parallelism ----
     // SPARK_GRAFT_BENCH_ONLY=crawl skips the query suite (fast iteration on
@@ -101,6 +111,7 @@ object Bench {
       // isolated query timing: print and exit before the scaling section
       println(s"""{"metric":"total","value":${timings.map(_._2).sum},""" +
         s""""unit":"sec","queries":${renderTimings(timings)},"sf":"$sfDir"}""")
+      PlanCache.clear(spark)
       spark.stop()
       return
     }
@@ -126,7 +137,9 @@ object Bench {
       val d = new java.io.File("/dev/shm")
       if (d.isDirectory && d.canWrite) "/dev/shm" else System.getProperty("java.io.tmpdir")
     }
-    def crawlRun(threads: Int, limit: Option[Long] = None): (Double, Long) = {
+    def crawlRun(threads: Int, limit: Option[Long] = None,
+        keepRoot: Boolean = false): (Double, Long, String) = {
+      PlanCache.clear(spark)
       spark.stop()
       spark = session(threads)
       val tableRoot = java.nio.file.Files
@@ -138,11 +151,14 @@ object Bench {
       spark.range(1000).count()
       CrawlPipeline.ensureBucketedStore(spark, storeDir)
       val t0 = System.nanoTime()
-      val summary = CrawlPipeline.run(spark, storeDir, tableRoot, limit, salts)
+      val summary = CrawlPipeline.run(spark, storeDir, tableRoot, limit, salts,
+        seenFilters = seenFilters)
       val sec = (System.nanoTime() - t0) / 1e9
-      // free the tmpfs space immediately
-      scala.reflect.io.Directory(new java.io.File(tableRoot)).deleteRecursively()
-      (sec, summary.attempted)
+      // free the tmpfs space immediately (unless the caller keeps the root
+      // for a follow-up measurement, e.g. cuckoo invalidation)
+      if (!keepRoot)
+        scala.reflect.io.Directory(new java.io.File(tableRoot)).deleteRecursively()
+      (sec, summary.attempted, tableRoot)
     }
     // Host steal on this VM drifts over minutes and swings absolute times
     // up to ~2x (the OS itself still scales ~4.0x from N to 4N procs — see
@@ -167,13 +183,38 @@ object Bench {
       crawlRun(scaleN), crawlRun(scale4N))
     val runsN = Seq(runsBoth(0), runsBoth(2))
     val runs4N = Seq(runsBoth(1), runsBoth(3))
-    val (sec8, n8) = runsN.minBy(_._1)
-    val (sec32, n32) = runs4N.minBy(_._1)
+    val (sec8, n8, _) = runsN.minBy(_._1)
+    val (sec32, n32, _) = runs4N.minBy(_._1)
     val thr8 = n8 / sec8
     val thr32 = n32 / sec32
     val efficiency = (thr32 / thr8) / 4.0
     val allRuns = (runsN.map(r => f"${r._1}%.2f") ++ runs4N.map(r => f"${r._1}%.2f"))
       .mkString("[", ",", "]")
+
+    // cuckoo mode: targeted-invalidation measurement (the Bloom-impossible
+    // op the north rule's "Bloom/cuckoo" naming earns its slash for):
+    // full crawl kept on disk → removeKeys K resolved units → the next run
+    // re-fetches exactly those units
+    val invalidation = if (seenKind != "cuckoo") "" else {
+      import org.apache.spark.sql.functions.col
+      val (_, _, root) = crawlRun(scale4N, keepRoot = true)
+      val k = sys.env.getOrElse("SPARK_GRAFT_INVALIDATE_N", "1000").toInt
+      val keys = CrawlPipeline.urlSeenStore(root).read(spark).get
+        .filter(col("status") === "ok")
+        .select(col("bucket"), col("url_hash")).distinct().limit(k)
+      val t0 = System.nanoTime()
+      val failed = graft.frontier.CuckooSeen.removeKeys(
+        spark, keys, "bucket", "url_hash", s"$root/cuckoo")
+      val removeSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val s2 = CrawlPipeline.run(spark, storeDir, root, None, salts,
+        seenFilters = seenFilters)
+      val refetchSec = (System.nanoTime() - t1) / 1e9
+      scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+      f""","invalidation":{"removed_keys":$k,"remove_failed":$failed,""" +
+        f""""remove_sec":$removeSec%.2f,"refetched_ok":${s2.ok},""" +
+        f""""refetch_run_sec":$refetchSec%.2f}"""
+    }
 
     val qs = renderTimings(timings)
     val total = timings.map(_._2).sum
@@ -184,10 +225,12 @@ object Bench {
         f""""all_run_secs":$allRuns,""" +
         f""""os_cpu_scaling_n_to_4n":$osScaling%.3f,""" +
         f""""efficiency_n_to_4n":$efficiency%.3f,""" +
-        f""""efficiency_vs_os_ceiling":${efficiency / math.max(0.01, osScaling)}%.3f}"""
+        f""""seen_kind":"$seenKind",""" +
+        f""""efficiency_vs_os_ceiling":${efficiency / math.max(0.01, osScaling)}%.3f$invalidation}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""scaling":$scaling,"sf":"$sfDir"}""")
+    PlanCache.clear(spark)
     spark.stop()
   }
 }
