@@ -72,11 +72,7 @@ object Bench {
     // targeted invalidation (removeKeys → re-fetch of exactly those units),
     // the op the Bloom sketch cannot express.
     val seenKind = sys.env.getOrElse("SPARK_GRAFT_SEEN", "bloom")
-    val seenFilters = seenKind match {
-      case "cuckoo" => graft.frontier.SeenFilters.cuckoo
-      case "bloom"  => graft.frontier.SeenFilters.bloom
-      case other => sys.error(s"unknown SPARK_GRAFT_SEEN: $other")
-    }
+    val seenFilters = CrawlConfig.seenFiltersFor(seenKind)
 
     // ---- query suite at the requested parallelism ----
     // SPARK_GRAFT_BENCH_ONLY=crawl skips the query suite (fast iteration on
@@ -198,10 +194,17 @@ object Bench {
     val invalidation = if (seenKind != "cuckoo") "" else {
       import org.apache.spark.sql.functions.col
       val (_, _, root) = crawlRun(scale4N, keepRoot = true)
+      val sp = spark // stable identifier for the implicits import
+      import sp.implicits._
       val k = sys.env.getOrElse("SPARK_GRAFT_INVALIDATE_N", "1000").toInt
-      val keys = CrawlPipeline.urlSeenStore(root).read(spark).get
+      // MATERIALIZE the key selection before t0: removeKeys' first action
+      // would otherwise lazily execute the url_seen scan + distinct +
+      // limit inside the timed window, overstating the removal cost
+      val keyRows = CrawlPipeline.urlSeenStore(root).read(spark).get
         .filter(col("status") === "ok")
         .select(col("bucket"), col("url_hash")).distinct().limit(k)
+        .as[(Long, Long)].collect()
+      val keys = sp.createDataset(keyRows.toSeq).toDF("bucket", "url_hash")
       val t0 = System.nanoTime()
       val failed = graft.frontier.CuckooSeen.removeKeys(
         spark, keys, "bucket", "url_hash", s"$root/cuckoo")

@@ -64,14 +64,24 @@ final case class CrawlConfig(
     this
   }
 
-  def seenFilters: graft.frontier.SeenFilterStore = seenKind match {
-    case "cuckoo" => graft.frontier.SeenFilters.cuckoo
-    case _        => graft.frontier.SeenFilters.bloom
-  }
+  /** Throws on an unknown kind (a typo'd sketch name must never silently
+    * run the wrong filter; `validate` guards the same rule for callers
+    * that check first).
+    */
+  def seenFilters: graft.frontier.SeenFilterStore =
+    CrawlConfig.seenFiltersFor(seenKind)
 }
 
 object CrawlConfig {
   val SeenKinds: Set[String] = Set("bloom", "cuckoo")
+
+  /** The one kind→store mapping (Bench and the config layer share it). */
+  def seenFiltersFor(kind: String): graft.frontier.SeenFilterStore = kind match {
+    case "bloom"  => graft.frontier.SeenFilters.bloom
+    case "cuckoo" => graft.frontier.SeenFilters.cuckoo
+    case other => throw new IllegalArgumentException(
+      s"seenKind must be one of ${SeenKinds.mkString("/")} (got '$other')")
+  }
 
   val default: CrawlConfig = CrawlConfig()
 
@@ -95,60 +105,107 @@ object CrawlConfig {
       "seen_kind", "rdf_sink", "raw_sink", "auto_compact_alpha")
     val polKeys = Set("min_interval_ms", "max_retries", "budget_requests",
       "window_ms")
-    try {
-      val j = Json.parse(input).asInstanceOf[Json.JObj]
-      val unknownTop = j.v.map(_._1).filterNot(topKeys)
-        .map(k => s"unknown config key '$k'")
-      def politenessOf(o: Json.JObj, where: String,
-          base: Politeness): (Politeness, Seq[String]) = {
-        val unknown = o.v.map(_._1).filterNot(polKeys)
-          .map(k => s"unknown key '$k' in $where")
-        def num(k: String, dflt: Long): Long =
-          o.get(k).map(_.asInstanceOf[Json.JNum].toLong).getOrElse(dflt)
-        (Politeness(
-          minIntervalMs = num("min_interval_ms", base.minIntervalMs),
-          maxRetries = num("max_retries", base.maxRetries.toLong).toInt,
-          budgetRequests = num("budget_requests", base.budgetRequests.toLong).toInt,
-          windowMs = num("window_ms", base.windowMs)), unknown)
-      }
-      val d = default
-      val (pol, polErrs) = j.get("politeness") match {
-        case Some(po: Json.JObj) =>
-          val entries = po.v.map { case (host, v) =>
-            val (p, errs) = politenessOf(v.asInstanceOf[Json.JObj],
-              s"politeness['$host']",
-              d.politeness.getOrElse(host, d.fallbackPoliteness))
-            (host -> p, errs)
-          }
-          // hosts present in the defaults but absent from the user map keep
-          // their default budgets (defaults-merged, like the reference)
-          (d.politeness ++ entries.map(_._1).toMap, entries.flatMap(_._2))
-        case _ => (d.politeness, Nil)
-      }
-      val (fb, fbErrs) = j.get("fallback") match {
-        case Some(o: Json.JObj) =>
-          politenessOf(o, "fallback", d.fallbackPoliteness)
-        case _ => (d.fallbackPoliteness, Nil)
-      }
-      def bool(k: String, dflt: Boolean): Boolean =
-        j.get(k).map(_.asInstanceOf[Json.JBool].v).getOrElse(dflt)
-      val cfg = CrawlConfig(
-        politeness = pol,
-        fallbackPoliteness = fb,
-        maxErrorRetries = j.get("max_error_retries")
-          .map(_.asInstanceOf[Json.JNum].toLong.toInt)
-          .getOrElse(d.maxErrorRetries),
-        seenKind = j.get("seen_kind")
-          .map(_.asInstanceOf[Json.JStr].v).getOrElse(d.seenKind),
-        rdfSink = bool("rdf_sink", d.rdfSink),
-        rawSink = bool("raw_sink", d.rawSink),
-        autoCompactAlpha = j.get("auto_compact_alpha")
-          .map(_.asInstanceOf[Json.JNum].toDouble)
-          .getOrElse(d.autoCompactAlpha))
-      val errs = unknownTop ++ polErrs ++ fbErrs ++ cfg.validate
-      if (errs.nonEmpty) Left(errs.toSeq) else Right(cfg)
-    } catch {
-      case e: Exception => Left(Seq(s"malformed config JSON: ${e.getMessage}"))
+    // error-accumulating typed extractors: a wrong-typed field reports its
+    // own per-field violation (and leaves the default in place so the REST
+    // of the config still validates) — never a blanket "malformed JSON"
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def longOf(v: Json.Value, where: String, dflt: Long): Long = v match {
+      case n: Json.JNum =>
+        try {
+          val d = n.toDouble
+          if (d != Math.rint(d)) { errs += s"$where must be an integer (got ${n.raw})"; dflt }
+          else n.toLong
+        } catch { case _: NumberFormatException =>
+          errs += s"$where must be an integer (got ${n.raw})"; dflt }
+      case _ => errs += s"$where must be a number"; dflt
+    }
+    def intOf(v: Json.Value, where: String, dflt: Int): Int = {
+      val l = longOf(v, where, dflt.toLong)
+      // range-checked narrowing: 2^32+3 must FAIL, not silently wrap to 3
+      if (l > Int.MaxValue || l < Int.MinValue) {
+        errs += s"$where out of range (got $l)"; dflt
+      } else l.toInt
+    }
+    def boolOf(v: Json.Value, where: String, dflt: Boolean): Boolean = v match {
+      case b: Json.JBool => b.v
+      case _ => errs += s"$where must be a boolean"; dflt
+    }
+    def strOf(v: Json.Value, where: String, dflt: String): String = v match {
+      case s: Json.JStr => s.v
+      case _ => errs += s"$where must be a string"; dflt
+    }
+    def doubleOf(v: Json.Value, where: String, dflt: Double): Double = v match {
+      case n: Json.JNum =>
+        try n.toDouble
+        catch { case _: NumberFormatException =>
+          errs += s"$where must be a number (got ${n.raw})"; dflt }
+      case _ => errs += s"$where must be a number"; dflt
+    }
+    def politenessOf(o: Json.JObj, where: String, base: Politeness): Politeness = {
+      errs ++= o.v.map(_._1).filterNot(polKeys)
+        .map(k => s"unknown key '$k' in $where")
+      def num(k: String, dflt: Long): Long =
+        o.get(k).map(longOf(_, s"$where.$k", dflt)).getOrElse(dflt)
+      def numInt(k: String, dflt: Int): Int =
+        o.get(k).map(intOf(_, s"$where.$k", dflt)).getOrElse(dflt)
+      Politeness(
+        minIntervalMs = num("min_interval_ms", base.minIntervalMs),
+        maxRetries = numInt("max_retries", base.maxRetries),
+        budgetRequests = numInt("budget_requests", base.budgetRequests),
+        windowMs = num("window_ms", base.windowMs))
+    }
+    val parsed =
+      try Some(Json.parse(input))
+      catch { case e: Exception =>
+        return Left(Seq(s"malformed config JSON: ${e.getMessage}")) }
+    parsed match {
+      case Some(j: Json.JObj) =>
+        errs ++= j.v.map(_._1).filterNot(topKeys)
+          .map(k => s"unknown config key '$k'")
+        val d = default
+        // a present-but-wrong-typed section is an ERROR, never silently
+        // the defaults (a dropped politeness override would run the crawl
+        // at the wrong pace with zero signal)
+        val pol = j.get("politeness") match {
+          case Some(po: Json.JObj) =>
+            val entries = po.v.map {
+              case (host, v: Json.JObj) =>
+                host -> politenessOf(v, s"politeness['$host']",
+                  d.politeness.getOrElse(host, d.fallbackPoliteness))
+              case (host, _) =>
+                errs += s"politeness['$host'] must be an object"
+                host -> d.politeness.getOrElse(host, d.fallbackPoliteness)
+            }
+            // hosts present in the defaults but absent from the user map
+            // keep their default budgets (defaults-merged, like the
+            // reference's schema-defaults dict)
+            d.politeness ++ entries.toMap
+          case Some(_) => errs += "politeness must be an object"; d.politeness
+          case None => d.politeness
+        }
+        val fb = j.get("fallback") match {
+          case Some(o: Json.JObj) => politenessOf(o, "fallback", d.fallbackPoliteness)
+          case Some(_) => errs += "fallback must be an object"; d.fallbackPoliteness
+          case None => d.fallbackPoliteness
+        }
+        val cfg = CrawlConfig(
+          politeness = pol,
+          fallbackPoliteness = fb,
+          maxErrorRetries = j.get("max_error_retries")
+            .map(intOf(_, "max_error_retries", d.maxErrorRetries))
+            .getOrElse(d.maxErrorRetries),
+          seenKind = j.get("seen_kind")
+            .map(strOf(_, "seen_kind", d.seenKind)).getOrElse(d.seenKind),
+          rdfSink = j.get("rdf_sink")
+            .map(boolOf(_, "rdf_sink", d.rdfSink)).getOrElse(d.rdfSink),
+          rawSink = j.get("raw_sink")
+            .map(boolOf(_, "raw_sink", d.rawSink)).getOrElse(d.rawSink),
+          autoCompactAlpha = j.get("auto_compact_alpha")
+            .map(doubleOf(_, "auto_compact_alpha", d.autoCompactAlpha))
+            .getOrElse(d.autoCompactAlpha))
+        val all = errs.toSeq ++ cfg.validate
+        if (all.nonEmpty) Left(all) else Right(cfg)
+      case _ => Left(Seq("config must be a JSON object"))
     }
   }
 }

@@ -31,8 +31,13 @@ object Krawl {
     * per-URL error reporting (url.py:110-112 exit code = failures).
     */
   def fetchUrls(spark: SparkSession, urls: Seq[String], storeDir: String,
-      tableRoot: String): DataFrame = {
+      tableRoot: String,
+      // the CLI loads + validates user config before any fetch, exactly
+      // like the reference (url.py:74 via config.py:35-117); throws with
+      // every violation listed when invalid
+      config: CrawlConfig = CrawlConfig.default): DataFrame = {
     import spark.implicits._
+    val c = config.validated
     val parsed = urls.toDF("url")
       .withColumn("canon", UrlFunctions.canonicalize(col("url")))
       .select(col("url"), col("canon.unit_path").as("unit_path"),
@@ -41,7 +46,8 @@ object Krawl {
 
     val frontier = CrawlPipeline.robotsAllowed(CrawlPipeline.frontier(spark, storeDir))
       .join(broadcast(wanted), Seq("unit_path"), "left_semi")
-    val log = FetchStage.run(spark, FetchStage.toTasks(spark, frontier))
+    val log = FetchStage.run(spark, FetchStage.toTasks(spark, frontier),
+      politeness = c.politeness, fallback = c.fallbackPoliteness)
     val statusCounts = log.groupBy("status").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val seenStore = CrawlPipeline.urlSeenStore(tableRoot)

@@ -17,32 +17,55 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * same DataFrame instance back (no new CacheManager entry, no warning).
   * `clear(spark)` unpersists everything the session built — called by the
   * drivers (Verify/Bench) between sessions or at shutdown.
+  *
+  * Sessions are identified by a UUID held in a WEAK identity map — never
+  * by `identityHashCode` (address hashes are reused after GC, which could
+  * serve a dead session's DataFrame to a new session). Entries belonging
+  * to collected sessions are swept on the next `cached` call, so library
+  * consumers that never call `clear` don't leak plans for the JVM
+  * lifetime.
+  *
+  * Caveat: Spark's CacheManager keys entries by CANONICAL PLAN, so
+  * external code calling `.unpersist()` on an equivalent plan evicts
+  * this entry too (the memoized DataFrame silently recomputes — a
+  * perf regression, never a correctness one).
   */
 object PlanCache {
 
-  private val entries =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  // session object → stable UUID; weak keys let collected sessions drop
+  // out (String values hold no back-reference to the key)
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
-  private def key(spark: SparkSession, k: String): (Int, String) =
-    (System.identityHashCode(spark), k)
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def sessionKey(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+
+  /** Drop entries whose owning session has been garbage-collected. */
+  private def sweep(): Unit = {
+    val live = sessionIds.synchronized {
+      new java.util.HashSet[String](sessionIds.values())
+    }
+    entries.keySet().removeIf(e => !live.contains(e._1))
+  }
 
   /** Memoized `.cache()`: builds + caches on first use of `k` in this
     * session, returns the same cached instance afterwards.
-    *
-    * Caveat: Spark's CacheManager keys entries by CANONICAL PLAN, so
-    * external code calling `.unpersist()` on an equivalent plan evicts
-    * this entry too (the memoized DataFrame silently recomputes — a
-    * perf regression, never a correctness one).
     */
-  def cached(spark: SparkSession, k: String)(build: => DataFrame): DataFrame =
-    entries.computeIfAbsent(key(spark, k), _ => build.cache())
+  def cached(spark: SparkSession, k: String)(build: => DataFrame): DataFrame = {
+    sweep()
+    entries.computeIfAbsent((sessionKey(spark), k), _ => build.cache())
+  }
 
   /** Memoize WITHOUT caching (plan reuse only — keeps repeated query
     * invocations operating on the identical DataFrame instance so their
     * derived `cached` keys stay stable).
     */
   def memo(spark: SparkSession, k: String)(build: => DataFrame): DataFrame =
-    entries.computeIfAbsent(key(spark, k), _ => build)
+    entries.computeIfAbsent((sessionKey(spark), k), _ => build)
 
   /** Unpersist and forget every entry this session built. Safe only when
     * no returned DataFrame is still pending lazy execution (see the
@@ -51,11 +74,11 @@ object PlanCache {
     * action.
     */
   def clear(spark: SparkSession): Unit = {
-    val id = System.identityHashCode(spark)
+    val sk = sessionKey(spark)
     val it = entries.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey._1 == id) {
+      if (e.getKey._1 == sk) {
         try e.getValue.unpersist(false) catch { case _: Throwable => () }
         it.remove()
       }

@@ -30,7 +30,11 @@ object SparkEntry {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft-$name-$key")
     val f = p.toFile
-    if (f.exists()) scala.reflect.io.Directory(f).deleteRecursively()
+    // a partial delete + silent resume against leftover state would dump a
+    // stale fetch log and fail the oracle with no hint — fail loudly here
+    if (f.exists())
+      require(scala.reflect.io.Directory(f).deleteRecursively(),
+        s"could not clear scratch root $p")
     f.mkdirs()
     p.toString
   }
@@ -357,12 +361,13 @@ object SparkEntry {
     // the store dumped to a fixed parquet path so DuckDB can read the SAME
     // rows: the decode-extracted (w, h, fmt_guess, phash) must round-trip
     // the stored metadata exactly (store phash is computed over decoded
-    // pixels — SyntheticStore.row)
+    // pixels — SyntheticStore.row). The dump is a CONSTANT 500 rows at
+    // every scale (rows are pure functions of id), and the count is in the
+    // path — so gates at different scales can never clobber each other
+    // into a mismatch, and the write is once-only (ensureOnDisk marker).
     "q_multimodal_featurize" -> ((s, d) => {
-      val n = s.read.parquet(s"$d/part.parquet").count()
-      val dumpDir = "/tmp/graft_mm_store"
-      graft.fixtures.SyntheticStore.generate(s, math.min(n, 500L), 8)
-        .write.mode("overwrite").parquet(dumpDir)
+      val dumpDir = "/tmp/graft_mm_store_500"
+      graft.fixtures.SyntheticStore.ensureOnDisk(s, dumpDir, 500L)
       val store = s.read.parquet(dumpDir)
       MultimodalOps.featurizeImages(s, store).drop("thumbnail", "embedding")
     }),
@@ -1198,7 +1203,7 @@ object SparkEntry {
     // featurizing; decode-extracted metadata must equal the stored columns
     "q_multimodal_featurize" ->
       """SELECT image_id, w, h, fmt AS fmt_guess, phash
-        |FROM read_parquet('/tmp/graft_mm_store/*.parquet')""".stripMargin,
+        |FROM read_parquet('/tmp/graft_mm_store_500/*.parquet')""".stripMargin,
     "q_ann_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -61,6 +61,29 @@ class CrawlConfigSpec extends SparkTestBase {
     assert(errs.exists(_.contains("unknown key 'min_intervalms'")))
     val Left(malformed) = CrawlConfig.fromJson("{nope")
     assert(malformed.exists(_.contains("malformed")))
+
+    // wrong-typed sections/fields are per-field errors, never silently the
+    // defaults and never a blanket "malformed JSON"
+    val Left(typed) = CrawlConfig.fromJson(
+      """{"politeness": ["github.com"], "fallback": 1000,
+        |  "seen_kind": 5, "max_error_retries": 4294967299,
+        |  "auto_compact_alpha": "x"}""".stripMargin)
+    assert(typed.exists(_.contains("politeness must be an object")))
+    assert(typed.exists(_.contains("fallback must be an object")))
+    assert(typed.exists(_.contains("seen_kind must be a string")))
+    assert(typed.exists(_.contains("max_error_retries out of range")))
+    assert(typed.exists(_.contains("auto_compact_alpha must be a number")))
+    val Left(frac) = CrawlConfig.fromJson(
+      """{"politeness": {"x.org": {"min_interval_ms": 2.5}}}""")
+    assert(frac.exists(_.contains("must be an integer")))
+  }
+
+  test("seenFilters throws on an unknown kind instead of silently " +
+      "falling back to bloom") {
+    intercept[IllegalArgumentException](
+      CrawlConfig(seenKind = "cuckooo").seenFilters)
+    assert(CrawlConfig(seenKind = "cuckoo").seenFilters ==
+      graft.frontier.SeenFilters.cuckoo)
   }
 
   test("runConfigured: default config ≡ default run; a changed interval " +

@@ -74,6 +74,18 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("planted near-dup queries: inverted-index joins only — no cartesian, " +
+      "no nested-loop, pair space never materializes") {
+    // the LSH family over the planted corpora must keep the same scale
+    // shape as the path-based operators: candidates come from band/block
+    // bucket joins, so the only join strategies are hash joins on keys
+    for (q <- Seq("q_minhash_lsh", "q_simhash_pairs", "q_ann_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q: pair space materialized:\n${p.take(2000)}")
+    }
+  }
+
   test("q_ann_cosine: the vector side is broadcast (no shuffled cross join)") {
     val p = plan("q_ann_cosine")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
