@@ -52,10 +52,11 @@ object Bench {
     "q_normalize_manifest", "q_normalize_v1", "q_license_resolve", "q_rdf_triples",
     "q_dedup_exact", "q_fingerprint", "q_quality", "q_lang_id",
     "q_ngram_jaccard", "q_minhash_lsh", "q_simhash_pairs", "q_embed_neardup",
-    // headline ANN number is the scale path (hyperplane LSH); the O(Q×N)
-    // brute-force twin stays in the suite as the RECALL ORACLE only — it is
-    // correct by design but must never be read as the production ANN cost
-    "q_ann_lsh")
+    // headline ANN numbers are the scale paths (hyperplane LSH + IVF
+    // probe-limited lists); the O(Q×N) brute-force twin stays in the suite
+    // as the RECALL ORACLE only — it is correct by design but must never
+    // be read as the production ANN cost
+    "q_ann_lsh", "q_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

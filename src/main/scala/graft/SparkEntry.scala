@@ -224,6 +224,15 @@ object SparkEntry {
         graft.fixtures.PlantedFixtures.plantedEmbeddings(s, d))
       VectorOps.annLshOf(s, emb, s"planted:$d", nQueries = 20, k = 2)
     }),
+    // second ANN scale path: IVF inverted lists (cosine coarse quantizer,
+    // probe-limited exact re-rank). Same planted corpus and closed form as
+    // q_ann_lsh — cosine assignment is scale-invariant, so the exact and
+    // ×2 clones share the query's list and occupy ranks 1/2
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = graft.PlanCache.memo(s, s"planted-emb:$d")(
+        graft.fixtures.PlantedFixtures.plantedEmbeddings(s, d))
+      VectorOps.annIvfOf(s, emb, s"planted:$d", nQueries = 20, k = 2)
+    }),
     // the synthetic embeddings carry no true duplicates (max in-block cosine
     // ≈0.47), so the query runs the operator at a 0.3 threshold to exercise
     // the pair-emitting path with oracle-checked rows
@@ -1192,6 +1201,14 @@ object SparkEntry {
     // (+2e7) of each query vector tie at cosine ≈ 1.0 bit-for-bit (exact
     // power-of-two fp scaling), so the id tie-break fixes ranks 1/2
     "q_ann_lsh" ->
+      """SELECT vec_id AS qid, vec_id + 10000000 AS neighbor_id,
+        |       CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 20
+        |UNION ALL
+        |SELECT vec_id AS qid, vec_id + 20000000 AS neighbor_id,
+        |       CAST(2 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+    "q_ann_ivf" ->
       """SELECT vec_id AS qid, vec_id + 10000000 AS neighbor_id,
         |       CAST(1 AS BIGINT) AS rank
         |FROM embeddings WHERE vec_id < 20

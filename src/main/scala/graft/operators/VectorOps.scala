@@ -101,6 +101,115 @@ object VectorOps {
       .select(col("id_a"), col("id_b"), col("cos_permille"))
   }
 
+  /** IVF (inverted-file) ANN — the second scale path next to hyperplane
+    * LSH: a small coarse quantizer of `nCentroids` anchor vectors
+    * partitions the corpus into inverted lists (one shuffle on the list
+    * id); a query probes only its `nProbe` nearest lists and re-ranks
+    * exactly inside them. At 10^10 vectors the quantizer is trained
+    * offline and broadcast (here: deterministic anchor rows from the
+    * corpus itself — vec_id ∈ [anchorBase, anchorBase+nCentroids)), the
+    * list id is the only shuffle key, and probe cost is nProbe/nCentroids
+    * of the corpus instead of all of it.
+    *
+    * Assignment is by COSINE to the anchor (scale-invariant: a vector and
+    * its ×2^k copy see bit-identical cosines to every anchor — the same
+    * exact power-of-two fp argument as the planted ANN clones — so
+    * assignment is stable under normalization differences). Ties break on
+    * the lower anchor index, deterministically.
+    */
+  def annIvf(spark: SparkSession, sfDir: String,
+      nQueries: Int = 20, k: Int = 3, nCentroids: Int = 16,
+      nProbe: Int = 2): DataFrame =
+    annIvfOf(spark, spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      s"dir:$sfDir", nQueries, k, nCentroids, nProbe)
+
+  private final case class Anchor(j: Int, v: Array[Double], nrm: Double)
+
+  /** Deterministic anchor rows standing in for an offline-trained coarse
+    * quantizer (tiny: nCentroids × dim doubles, inlined as literals).
+    */
+  private def ivfAnchors(embDf: DataFrame, nCentroids: Int,
+      anchorBase: Long): Array[Anchor] = {
+    val anchors = embDf
+      .filter(col("vec_id") >= anchorBase &&
+        col("vec_id") < anchorBase + nCentroids)
+      .orderBy("vec_id")
+      .select(expr("transform(embedding, x -> cast(x as double))"))
+      .collect().zipWithIndex
+      .map { case (r, j) =>
+        val v = r.getSeq[Double](0).toArray
+        Anchor(j, v, math.sqrt(v.map(x => x * x).sum))
+      }
+    require(anchors.length == nCentroids,
+      s"anchor rows missing: got ${anchors.length}, want $nCentroids")
+    anchors
+  }
+
+  // per-anchor cosine as a codegen'd expression over array literals; the
+  // anchor norm is a positive constant so it never flips a comparison
+  // between a vector and its power-of-two multiples
+  private def cosTo(a: Anchor): Column =
+    expr(s"aggregate(zip_with(emb, array(${a.v.mkString("D,")}D), " +
+      "(x, y) -> x * y), 0D, (acc, v) -> acc + v)") / (col("nrm") * lit(a.nrm))
+
+  /** All anchor cosines as ONE array column — each cosine is evaluated
+    * exactly once (a when-chain argmax would nest every prior cosine
+    * expression per step: exponential expression-tree growth).
+    * `array_position(…, array_max(…)) - 1` is the argmax with the
+    * FIRST (lowest-index) anchor winning exact ties, deterministically.
+    */
+  private def ivfListsOf(embDf: DataFrame, anchors: Array[Anchor]): DataFrame =
+    embDf
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(transform(emb, x -> x * x), 0D, (acc, v) -> acc + v)")))
+      .withColumn("cos_arr", array(anchors.map(cosTo).toSeq: _*))
+      .withColumn("list_id", expr(
+        "cast(array_position(cos_arr, array_max(cos_arr)) - 1 as int)"))
+      .select("vec_id", "emb", "nrm", "cos_arr", "list_id")
+
+  /** Test seam: list assignment only (pins the scale-invariance the
+    * planted oracle rests on).
+    */
+  def annIvfListsForTest(spark: SparkSession, embDf: DataFrame,
+      nCentroids: Int, anchorBase: Long = 100L): DataFrame =
+    ivfListsOf(embDf, ivfAnchors(embDf, nCentroids, anchorBase))
+
+  def annIvfOf(spark: SparkSession, embDf: DataFrame, cacheKey: String,
+      nQueries: Int = 20, k: Int = 3, nCentroids: Int = 16,
+      nProbe: Int = 2, anchorBase: Long = 100L): DataFrame = {
+    val anchors = ivfAnchors(embDf, nCentroids, anchorBase)
+    val base = graft.PlanCache.cached(spark,
+      s"ann-ivf-lists:$cacheKey:$nCentroids")(ivfListsOf(embDf, anchors))
+    // query side probes its nProbe nearest lists (the first probe is its
+    // own list, so planted same-direction neighbors are always reachable):
+    // sort (cos desc, anchor index asc) over the precomputed cosine array,
+    // take the first nProbe indices — all inside one codegen'd expression
+    val topProbes = expr(
+      s"""transform(slice(array_sort(
+         |  transform(sequence(0, ${nCentroids - 1}),
+         |    j -> struct(cos_arr[j] AS c, j AS j)),
+         |  (l, r) -> CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1
+         |                 WHEN l.j < r.j THEN -1 WHEN l.j > r.j THEN 1
+         |                 ELSE 0 END),
+         |  1, $nProbe), s -> s.j)""".stripMargin)
+    val queries = base.filter(col("vec_id") < nQueries)
+      .withColumn("probe", explode(topProbes))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"), col("probe").as("list_id"))
+    val sim = queries.join(base.select(col("vec_id").as("neighbor_id"),
+        col("emb").as("nemb"), col("nrm").as("nnrm"), col("list_id")),
+        Seq("list_id"))
+      .filter(col("qid") =!= col("neighbor_id"))
+      .withColumn("sim",
+        expr("aggregate(zip_with(qemb, nemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+          (col("qnrm") * col("nnrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("neighbor_id"))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   /** LSH-accelerated ANN: same output shape as `annBruteForce` but
     * candidates restricted to the query's bucket. At 10^10 vectors the
     * bucket key is the shuffle key; no cross join ever materializes.

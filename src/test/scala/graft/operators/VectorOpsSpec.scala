@@ -51,4 +51,29 @@ class VectorOpsSpec extends SparkTestBase {
       .groupBy("bucket").count().agg(max("count")).as[Long].collect()(0)
     assert(bucketSizes < 220, "bucketing degenerated to a full scan")
   }
+
+  test("IVF ANN: near-perfect recall on planted pairs at nProbe=2; probe " +
+      "work bounded by list sizes") {
+    val ivfTop = VectorOps.annIvf(spark, embDir, nQueries = 20, k = 1,
+      nCentroids = 8, nProbe = 2)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toMap
+    // a 0.02-noise perturbation moves cosine-to-anchor by far less than
+    // typical inter-anchor gaps; with 2 probes the planted neighbor's list
+    // is essentially always reachable on this deterministic fixture
+    val hits = (0L until 20L).count(q => ivfTop.get(q).contains(q + 1000L))
+    assert(hits >= 18, s"IVF recall $hits/20")
+    // assignment is scale-invariant: a ×2 copy gets the same list as its
+    // base for every vector (the closed-form property the planted oracle
+    // rests on)
+    val base = spark.read.parquet(s"$embDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val doubled = base.select((col("vec_id") + 5000L).as("vec_id"),
+      expr("transform(embedding, x -> x * cast(2.0 as float))").as("embedding"))
+    val lists = VectorOps.annIvfListsForTest(spark,
+      base.unionByName(doubled), nCentroids = 8)
+      .select("vec_id", "list_id").as[(Long, Int)].collect().toMap
+    base.select("vec_id").as[Long].collect().foreach { id =>
+      assert(lists(id) == lists(id + 5000L), s"×2 copy of $id changed list")
+    }
+  }
 }
