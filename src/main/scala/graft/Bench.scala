@@ -215,7 +215,7 @@ object Bench {
         seenFilters = seenFilters)
       val refetchSec = (System.nanoTime() - t1) / 1e9
       scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
-      f""","invalidation":{"removed_keys":$k,"remove_failed":$failed,""" +
+      f""","invalidation":{"removed_keys":${keyRows.length},"remove_failed":$failed,""" +
         f""""remove_sec":$removeSec%.2f,"refetched_ok":${s2.ok},""" +
         f""""refetch_run_sec":$refetchSec%.2f}"""
     }

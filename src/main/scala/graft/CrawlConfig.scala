@@ -111,12 +111,18 @@ object CrawlConfig {
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
     def longOf(v: Json.Value, where: String, dflt: Long): Long = v match {
       case n: Json.JNum =>
-        try {
-          val d = n.toDouble
-          if (d != Math.rint(d)) { errs += s"$where must be an integer (got ${n.raw})"; dflt }
-          else n.toLong
-        } catch { case _: NumberFormatException =>
-          errs += s"$where must be an integer (got ${n.raw})"; dflt }
+        // exact long form first; then integral decimal/exponent forms
+        // ("2000.0", "1e3" — what json emitters produce for whole numbers)
+        // within double-exact range; fractional or huge-inexact → error
+        try n.raw.toLong
+        catch { case _: NumberFormatException =>
+          try {
+            val d = n.toDouble
+            if (d == Math.rint(d) && math.abs(d) <= (1L << 53).toDouble) d.toLong
+            else { errs += s"$where must be an integer (got ${n.raw})"; dflt }
+          } catch { case _: NumberFormatException =>
+            errs += s"$where must be an integer (got ${n.raw})"; dflt }
+        }
       case _ => errs += s"$where must be a number"; dflt
     }
     def intOf(v: Json.Value, where: String, dflt: Int): Int = {

@@ -20,10 +20,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Sessions are identified by a UUID held in a WEAK identity map — never
   * by `identityHashCode` (address hashes are reused after GC, which could
-  * serve a dead session's DataFrame to a new session). Entries belonging
-  * to collected sessions are swept on the next `cached` call, so library
-  * consumers that never call `clear` don't leak plans for the JVM
-  * lifetime.
+  * serve a dead session's DataFrame to a new session). Entries whose
+  * session has been STOPPED are swept on the next `cached` call (the
+  * cached DataFrames strongly reference their session, so GC-based
+  * eviction can never fire — liveness is checked via the SparkContext
+  * stop flag instead). A session that is abandoned without being stopped
+  * still needs an explicit `clear`.
   *
   * Caveat: Spark's CacheManager keys entries by CANONICAL PLAN, so
   * external code calling `.unpersist()` on an equivalent plan evicts
@@ -44,13 +46,15 @@ object PlanCache {
   private def sessionKey(spark: SparkSession): String =
     sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 
-  /** Drop entries whose owning session has been garbage-collected. */
-  private def sweep(): Unit = {
-    val live = sessionIds.synchronized {
-      new java.util.HashSet[String](sessionIds.values())
+  /** Drop entries whose owning session has been STOPPED (a cached
+    * DataFrame strongly references its session, so a weak-map sweep could
+    * never fire — the stop flag is the reliable liveness signal).
+    */
+  private def sweep(): Unit =
+    entries.entrySet().removeIf { e =>
+      try e.getValue.sparkSession.sparkContext.isStopped
+      catch { case _: Throwable => true }
     }
-    entries.keySet().removeIf(e => !live.contains(e._1))
-  }
 
   /** Memoized `.cache()`: builds + caches on first use of `k` in this
     * session, returns the same cached instance afterwards.

@@ -112,11 +112,19 @@ object SyntheticStore {
     spark.range(1, n + 1, 1, partitions).as[Long].map(id => row(id, minPx, maxPx)).toDF()
   }
 
-  /** Materialize to parquet once; reuse across runs (id-stable). */
+  /** Materialize to parquet once; reuse across runs (id-stable). The
+    * marker alone is NOT trusted: a partial dump (files deleted under a
+    * surviving _SUCCESS, or a crashed overwrite) would silently serve a
+    * truncated corpus to every consumer — the row count is re-verified
+    * from the parquet footers and a mismatching dump is rewritten.
+    */
   def ensureOnDisk(spark: SparkSession, dir: String, n: Long,
       minPx: Int = 8, maxPx: Int = 64): String = {
     val marker = new java.io.File(s"$dir/_SUCCESS")
-    if (!marker.exists()) {
+    val intact = marker.exists() &&
+      (try spark.read.parquet(dir).count() == n
+       catch { case _: Throwable => false })
+    if (!intact) {
       // 128 output files: parquet row groups are the split unit for the
       // binary payload, so file count bounds downstream scan parallelism
       generate(spark, n, 128, minPx, maxPx).write.mode(SaveMode.Overwrite).parquet(dir)

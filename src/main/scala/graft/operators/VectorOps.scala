@@ -22,6 +22,23 @@ object VectorOps {
   private def norm(a: String): Column =
     sqrt(expr(s"aggregate(transform($a, x -> x * x), 0D, (acc, v) -> acc + v)"))
 
+  /** Shared exact cosine re-rank over candidate pairs
+    * (qid, qemb, qnrm, neighbor_id, nemb, nnrm) → (qid, neighbor_id,
+    * rank ≤ k), deterministic tie-break on neighbor id. One definition —
+    * brute-force, LSH, and IVF all rank with identical semantics.
+    */
+  private def exactRerank(pairs: DataFrame, k: Int): DataFrame = {
+    val sim = pairs
+      .filter(col("qid") =!= col("neighbor_id"))
+      .withColumn("sim",
+        expr("aggregate(zip_with(qemb, nemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+          (col("qnrm") * col("nnrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("neighbor_id"))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   /** Brute-force cosine top-k: queries = vec_id < nQueries; exact ranking
     * over all vectors. O(Q×N) — the correctness baseline the LSH path is
     * validated against. Output (qid, neighbor_id, rank), rank 1..k,
@@ -33,16 +50,9 @@ object VectorOps {
       .withColumn("nrm", norm("emb"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
-    val sim = queries.crossJoin(broadcast(emb.select(
-        col("vec_id").as("neighbor_id"), col("emb").as("nemb"), col("nrm").as("nnrm"))))
-      .filter(col("qid") =!= col("neighbor_id"))
-      .withColumn("sim",
-        expr("aggregate(zip_with(qemb, nemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
-          (col("qnrm") * col("nnrm")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("neighbor_id"))
-    sim.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    exactRerank(queries.crossJoin(broadcast(emb.select(
+      col("vec_id").as("neighbor_id"), col("emb").as("nemb"),
+      col("nrm").as("nnrm")))), k)
   }
 
   /** Sign-pattern LSH bucketing with `nPlanes` hyperplanes (random ±1
@@ -161,8 +171,7 @@ object VectorOps {
   private def ivfListsOf(embDf: DataFrame, anchors: Array[Anchor]): DataFrame =
     embDf
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(transform(emb, x -> x * x), 0D, (acc, v) -> acc + v)")))
+      .withColumn("nrm", norm("emb"))
       .withColumn("cos_arr", array(anchors.map(cosTo).toSeq: _*))
       .withColumn("list_id", expr(
         "cast(array_position(cos_arr, array_max(cos_arr)) - 1 as int)"))
@@ -175,12 +184,22 @@ object VectorOps {
       nCentroids: Int, anchorBase: Long = 100L): DataFrame =
     ivfListsOf(embDf, ivfAnchors(embDf, nCentroids, anchorBase))
 
+  // anchors carry no session references (plain doubles) — memoized per
+  // corpus key so repeated invocations skip the collect job once the
+  // inverted lists are cached
+  private val anchorCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), Array[Anchor]]
+
   def annIvfOf(spark: SparkSession, embDf: DataFrame, cacheKey: String,
       nQueries: Int = 20, k: Int = 3, nCentroids: Int = 16,
       nProbe: Int = 2, anchorBase: Long = 100L): DataFrame = {
-    val anchors = ivfAnchors(embDf, nCentroids, anchorBase)
+    val anchors = anchorCache.getOrElseUpdate((cacheKey, nCentroids, anchorBase),
+      ivfAnchors(embDf, nCentroids, anchorBase))
+    // anchorBase is part of the key: two quantizers over the same corpus
+    // must never share inverted lists
     val base = graft.PlanCache.cached(spark,
-      s"ann-ivf-lists:$cacheKey:$nCentroids")(ivfListsOf(embDf, anchors))
+      s"ann-ivf-lists:$cacheKey:$nCentroids:$anchorBase")(
+      ivfListsOf(embDf, anchors))
     // query side probes its nProbe nearest lists (the first probe is its
     // own list, so planted same-direction neighbors are always reachable):
     // sort (cos desc, anchor index asc) over the precomputed cosine array,
@@ -197,17 +216,9 @@ object VectorOps {
       .withColumn("probe", explode(topProbes))
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("nrm").as("qnrm"), col("probe").as("list_id"))
-    val sim = queries.join(base.select(col("vec_id").as("neighbor_id"),
-        col("emb").as("nemb"), col("nrm").as("nnrm"), col("list_id")),
-        Seq("list_id"))
-      .filter(col("qid") =!= col("neighbor_id"))
-      .withColumn("sim",
-        expr("aggregate(zip_with(qemb, nemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
-          (col("qnrm") * col("nnrm")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("neighbor_id"))
-    sim.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    exactRerank(queries.join(base.select(col("vec_id").as("neighbor_id"),
+      col("emb").as("nemb"), col("nrm").as("nnrm"), col("list_id")),
+      Seq("list_id")), k)
   }
 
   /** LSH-accelerated ANN: same output shape as `annBruteForce` but
@@ -225,20 +236,12 @@ object VectorOps {
   def annLshOf(spark: SparkSession, embDf: DataFrame, cacheKey: String,
       nQueries: Int = 20, k: Int = 3, nPlanes: Int = 8): DataFrame = {
     val b = graft.PlanCache.cached(spark, s"ann-lsh-buckets:$cacheKey:$nPlanes")(
-      lshBucketsOf(embDf, nPlanes)
-        .withColumn("nrm", sqrt(expr("aggregate(transform(emb, x -> x * x), 0D, (acc, v) -> acc + v)"))))
+      lshBucketsOf(embDf, nPlanes).withColumn("nrm", norm("emb")))
     val queries = b.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("nrm").as("qnrm"), col("bucket"))
-    val sim = queries.join(b.select(col("vec_id").as("neighbor_id"),
-        col("emb").as("nemb"), col("nrm").as("nnrm"), col("bucket")), Seq("bucket"))
-      .filter(col("qid") =!= col("neighbor_id"))
-      .withColumn("sim",
-        expr("aggregate(zip_with(qemb, nemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
-          (col("qnrm") * col("nnrm")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("neighbor_id"))
-    sim.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    exactRerank(queries.join(b.select(col("vec_id").as("neighbor_id"),
+      col("emb").as("nemb"), col("nrm").as("nnrm"), col("bucket")),
+      Seq("bucket")), k)
   }
 }

@@ -76,6 +76,12 @@ class CrawlConfigSpec extends SparkTestBase {
     val Left(frac) = CrawlConfig.fromJson(
       """{"politeness": {"x.org": {"min_interval_ms": 2.5}}}""")
     assert(frac.exists(_.contains("must be an integer")))
+    // integral decimal/exponent forms (what json emitters produce for
+    // whole numbers) are ACCEPTED, not spuriously rejected
+    val Right(deci) = CrawlConfig.fromJson(
+      """{"fallback": {"min_interval_ms": 2000.0, "max_retries": 1e1}}""")
+    assert(deci.fallbackPoliteness.minIntervalMs == 2000L)
+    assert(deci.fallbackPoliteness.maxRetries == 10)
   }
 
   test("seenFilters throws on an unknown kind instead of silently " +
