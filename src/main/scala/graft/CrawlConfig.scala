@@ -113,12 +113,14 @@ object CrawlConfig {
       case n: Json.JNum =>
         // exact long form first; then integral decimal/exponent forms
         // ("2000.0", "1e3" — what json emitters produce for whole numbers)
-        // within double-exact range; fractional or huge-inexact → error
+        // via EXACT BigDecimal arithmetic: a double round-trip would
+        // silently coerce values like 2^53+1.0 or x.5 near the top of the
+        // range instead of erroring
         try n.raw.toLong
         catch { case _: NumberFormatException =>
           try {
-            val d = n.toDouble
-            if (d == Math.rint(d) && math.abs(d) <= (1L << 53).toDouble) d.toLong
+            val bd = BigDecimal(n.raw)
+            if (bd.isWhole && bd.isValidLong) bd.toLongExact
             else { errs += s"$where must be an integer (got ${n.raw})"; dflt }
           } catch { case _: NumberFormatException =>
             errs += s"$where must be an integer (got ${n.raw})"; dflt }

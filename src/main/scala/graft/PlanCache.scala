@@ -50,11 +50,16 @@ object PlanCache {
     * DataFrame strongly references its session, so a weak-map sweep could
     * never fire — the stop flag is the reliable liveness signal).
     */
-  private def sweep(): Unit =
+  private def sweep(): Unit = {
     entries.entrySet().removeIf { e =>
       try e.getValue.sparkSession.sparkContext.isStopped
       catch { case _: Throwable => true }
     }
+    val live = sessionIds.synchronized {
+      new java.util.HashSet[String](sessionIds.values())
+    }
+    values.keySet().removeIf(e => !live.contains(e._1))
+  }
 
   /** Memoized `.cache()`: builds + caches on first use of `k` in this
     * session, returns the same cached instance afterwards.
@@ -70,6 +75,17 @@ object PlanCache {
     */
   def memo(spark: SparkSession, k: String)(build: => DataFrame): DataFrame =
     entries.computeIfAbsent((sessionKey(spark), k), _ => build)
+
+  // plain per-session values (collected dimension rows, anchor arrays…) —
+  // session-scoped so a new session NEVER sees another epoch's data, and
+  // sweepable by the weak session map (values hold no session reference,
+  // so GC of an abandoned session does drop its weak entry)
+  private val values =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
+
+  /** Memoize a driver-side value per (session, key). */
+  def memoValue[T <: AnyRef](spark: SparkSession, k: String)(build: => T): T =
+    values.computeIfAbsent((sessionKey(spark), k), _ => build).asInstanceOf[T]
 
   /** Unpersist and forget every entry this session built. Safe only when
     * no returned DataFrame is still pending lazy execution (see the
@@ -87,5 +103,6 @@ object PlanCache {
         it.remove()
       }
     }
+    values.keySet().removeIf(_._1 == sk)
   }
 }

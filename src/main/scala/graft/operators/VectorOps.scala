@@ -112,7 +112,11 @@ object VectorOps {
   }
 
   /** IVF (inverted-file) ANN — the second scale path next to hyperplane
-    * LSH: a small coarse quantizer of `nCentroids` anchor vectors
+    * LSH, the classical coarse-quantizer + inverted-list design (Sivic &
+    * Zisserman, "Video Google", ICCV 2003; the IVF-Flat index family
+    * popularized by the public FAISS docs — implemented here from the
+    * published method, not any codebase): a small coarse quantizer of
+    * `nCentroids` anchor vectors
     * partitions the corpus into inverted lists (one shuffle on the list
     * id); a query probes only its `nProbe` nearest lists and re-ranks
     * exactly inside them. At 10^10 vectors the quantizer is trained
@@ -184,16 +188,15 @@ object VectorOps {
       nCentroids: Int, anchorBase: Long = 100L): DataFrame =
     ivfListsOf(embDf, ivfAnchors(embDf, nCentroids, anchorBase))
 
-  // anchors carry no session references (plain doubles) — memoized per
-  // corpus key so repeated invocations skip the collect job once the
-  // inverted lists are cached
-  private val anchorCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), Array[Anchor]]
-
   def annIvfOf(spark: SparkSession, embDf: DataFrame, cacheKey: String,
       nQueries: Int = 20, k: Int = 3, nCentroids: Int = 16,
       nProbe: Int = 2, anchorBase: Long = 100L): DataFrame = {
-    val anchors = anchorCache.getOrElseUpdate((cacheKey, nCentroids, anchorBase),
+    // SESSION-scoped anchor memo (PlanCache.memoValue) — the anchors and
+    // the cached inverted lists below share one lifecycle, so they can
+    // never come from different corpus epochs, and a JVM-global map can't
+    // accumulate stale quantizers across sessions
+    val anchors = graft.PlanCache.memoValue(spark,
+      s"ann-ivf-anchors:$cacheKey:$nCentroids:$anchorBase")(
       ivfAnchors(embDf, nCentroids, anchorBase))
     // anchorBase is part of the key: two quantizers over the same corpus
     // must never share inverted lists
