@@ -144,17 +144,35 @@ object EventStream {
   }
 
   def politenessPacer(requests: Dataset[FetchRequest],
-      minIntervalMs: Long = 1000L): Dataset[ScheduledFetch] = {
+      minIntervalMs: Long = 1000L): Dataset[ScheduledFetch] =
+    pacerImpl(requests, Map.empty, minIntervalMs)
+
+  /** Config-driven pacer: per-HOST intervals from the validated
+    * `CrawlConfig` (the streaming twin of the batch fetch stage reading
+    * `config.politeness`) — unconfigured hosts pace at the fallback.
+    */
+  def politenessPacer(requests: Dataset[FetchRequest],
+      config: graft.CrawlConfig): Dataset[ScheduledFetch] = {
+    val c = config.validated
+    pacerImpl(requests,
+      c.politeness.map { case (h, p) => h -> p.minIntervalMs },
+      c.fallbackPoliteness.minIntervalMs)
+  }
+
+  private def pacerImpl(requests: Dataset[FetchRequest],
+      hostIntervals: Map[String, Long],
+      fallbackMs: Long): Dataset[ScheduledFetch] = {
     import requests.sparkSession.implicits._
     requests
       .groupByKey(_.host)
       .flatMapGroupsWithState[PacerState, ScheduledFetch](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, state: GroupState[PacerState]) =>
+        case (host, rows, state: GroupState[PacerState]) =>
           val prev = state.getOption.getOrElse(PacerState(Long.MinValue, 0L))
           // deterministic order within the micro-batch
           val ordered = rows.toSeq.sortBy(r => (r.ts.getTime, r.unit_path))
-          val (out, next) = paceBatch(ordered.iterator, prev, minIntervalMs)
+          val (out, next) = paceBatch(ordered.iterator, prev,
+            hostIntervals.getOrElse(host, fallbackMs))
           state.update(next)
           out.iterator
       }

@@ -160,4 +160,35 @@ class EventStreamSpec extends SparkTestBase {
     }
     assert(rows.count(_.host == "b.com") == 1)
   }
+
+  test("config-driven pacer: per-host intervals from CrawlConfig, " +
+      "fallback for unconfigured hosts") {
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = graft.CrawlConfig.default.copy(
+      politeness = Map(
+        "slow.com" -> graft.fetch.FetchStage.Politeness(7000L, 3),
+        "fast.com" -> graft.fetch.FetchStage.Politeness(500L, 3)),
+      fallbackPoliteness = graft.fetch.FetchStage.Politeness(2000L, 3))
+    val input = MemoryStream[EventStream.FetchRequest]
+    val paced = EventStream.politenessPacer(input.toDS(), cfg)
+    val q = paced.writeStream.outputMode("append")
+      .format("memory").queryName("paced_cfg_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt3").toString)
+      .start()
+    val t0 = 9000000L
+    input.addData(
+      (for (h <- Seq("slow.com", "fast.com", "other.com"); i <- 1 to 3)
+        yield EventStream.FetchRequest(h, s"$h/u$i", new Timestamp(t0 + i))): _*)
+    q.processAllAvailable()
+    val rows = spark.table("paced_cfg_out")
+      .as[EventStream.ScheduledFetch].collect()
+    q.stop()
+    def gaps(h: String): Seq[Long] = rows.filter(_.host == h).sortBy(_.position)
+      .map(_.scheduled_ms).sliding(2).map { case Array(a, b) => b - a }.toSeq
+    assert(gaps("slow.com").forall(_ >= 7000L), s"slow gaps ${gaps("slow.com")}")
+    assert(gaps("fast.com").forall(g => g >= 500L && g < 7000L),
+      s"fast host paced at the wrong interval: ${gaps("fast.com")}")
+    assert(gaps("other.com").forall(g => g >= 2000L && g < 7000L),
+      s"fallback host paced at the wrong interval: ${gaps("other.com")}")
+  }
 }
