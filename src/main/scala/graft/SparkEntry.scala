@@ -212,6 +212,17 @@ object SparkEntry {
           when(col("hamming").isNotNull, 1L).otherwise(0L).as("detected"),
           col("hamming").cast("long").as("hamming"))
     }),
+    // dedup CLUSTERING: minhash-LSH pairs over the chain corpus →
+    // connected components → (doc_id, canonical = min id of component).
+    // The planted 3-member chains make every component closed-form
+    // regardless of which of its 2-3 edges LSH emits
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = graft.PlanCache.memo(s, s"planted-chain:$d")(
+        graft.fixtures.PlantedFixtures.chainDupDocs(s, d))
+      val pairs = TextOps.minhashLshOf(s, docs, s"planted-chain:$d")
+        .select("doc_a", "doc_b")
+      TextOps.connectedComponents(s, pairs)
+    }),
     // ---- training-data pipeline: vectors ----
     "q_ann_cosine" -> ((s, d) => VectorOps.annBruteForce(s, d)),
     // hyperplane-LSH ANN over embeddings ∪ planted neighbors (the exact
@@ -1182,6 +1193,13 @@ object SparkEntry {
         |  CAST(CASE WHEN (p_partkey // 2) % 3 = 2 THEN NULL ELSE 1000 END
         |       AS BIGINT) AS eq_exact
         |FROM part WHERE p_partkey % 2 = 0""".stripMargin,
+    "q_dedup_clusters" ->
+      """SELECT p_partkey AS doc_id, p_partkey AS canonical_doc_id
+        |FROM part WHERE p_partkey % 2 = 0
+        |UNION ALL
+        |SELECT p_partkey + 10000000, p_partkey FROM part WHERE p_partkey % 2 = 0
+        |UNION ALL
+        |SELECT p_partkey + 20000000, p_partkey FROM part WHERE p_partkey % 2 = 0""".stripMargin,
     // bag-preserving clones (case/whitespace/word order) have bit-identical
     // SimHash: Hamming pinned to 0 per planted pair
     "q_simhash" ->

@@ -109,6 +109,28 @@ object PlantedFixtures {
   def bagDupPairs(spark: SparkSession, sfDir: String): DataFrame =
     plantedPairs(spark, sfDir, Seq("upper", "space", "reverse"))
 
+  /** Chain corpus for dedup CLUSTERING: per even key, a 3-member chain —
+    * base k, an exact-after-normalization clone at k+CloneOffset (upper),
+    * and an append-perturbed clone at k+2·CloneOffset. The pair operator
+    * is guaranteed the k↔clone1 and k↔clone2 edges (clone1 additionally
+    * pairs with clone2 — same text modulo case), so the connected
+    * component is exactly {k, k+1e7, k+2e7} with canonical = k (min id),
+    * closed-form in DuckDB regardless of WHICH of the 2-3 edges LSH
+    * emits.
+    */
+  def chainDupDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = partKeys(spark, sfDir).withColumn("text", baseTextExpr)
+    val even = base.filter(pmod(col("k"), lit(2)) === 0)
+    val clone1 = even.select((col("k") + CloneOffset).as("doc_id"),
+      upper(col("text")).as("text"))
+    val clone2 = even.select((col("k") + 2 * CloneOffset).as("doc_id"),
+      concat(col("text"), lit(" "),
+        expr(s"array_join(transform(sequence(0, ${AppendWords - 1}), " +
+          "i -> concat('z', k, 'a', i)), ' ')")).as("text"))
+    base.select(col("k").as("doc_id"), col("text"))
+      .unionByName(clone1).unionByName(clone2)
+  }
+
   /** Embeddings ∪ planted neighbors for the first `nQueries` vectors:
     * the exact copy and the ×2.0f copy (see object doc for why both are
     * bit-deterministic through the LSH + cosine path).

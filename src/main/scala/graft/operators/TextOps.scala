@@ -246,6 +246,46 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("eq_permille"))
   }
 
+  /** Connected components over a near-duplicate pair set — the clustering
+    * stage that turns pairwise LSH/simhash output into dedup groups (each
+    * doc → the MINIMUM doc id of its component, the deterministic
+    * canonical representative). Iterative min-label propagation: each
+    * round every node takes the min label among itself and its neighbors;
+    * fixpoint after O(component diameter) rounds. Near-dup components are
+    * shallow (clones of clones), so a handful of rounds suffices; at
+    * 10^10-pair scale each round is one join + one aggregation on doc_id,
+    * and `localCheckpoint` truncates the growing lineage per round (the
+    * iterative-DataFrame trap: without it, round N re-executes rounds
+    * 1..N-1).
+    */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_doc_id"))
+  }
+
   /** SimHash-64 over word unigrams: per word hash, each bit votes ±1
     * weighted by term frequency; sign of the vote sum forms the 64-bit
     * fingerprint. Pure expression pipeline (explode → groupBy), no UDF.

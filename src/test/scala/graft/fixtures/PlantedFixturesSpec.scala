@@ -53,6 +53,25 @@ class PlantedFixturesSpec extends SparkTestBase {
     assert(pairs.forall(_._3 == 0))
   }
 
+  test("dedup clustering: LSH pairs over chain corpus collapse to " +
+      "closed-form 3-member components with min-id canonicals") {
+    val docs = PlantedFixtures.chainDupDocs(spark, sfDir)
+    val pairs = TextOps.minhashLshOf(spark, docs, "spec-chain")
+      .select("doc_a", "doc_b")
+    val comp = TextOps.connectedComponents(spark, pairs)
+      .as[(Long, Long)].collect().toMap
+    val evens = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey").as[Long].collect().filter(_ % 2 == 0)
+    assert(evens.nonEmpty)
+    assert(comp.size == evens.length * 3,
+      s"expected ${evens.length * 3} clustered docs, got ${comp.size}")
+    evens.foreach { k =>
+      assert(comp(k) == k)
+      assert(comp(k + PlantedFixtures.CloneOffset) == k)
+      assert(comp(k + 2 * PlantedFixtures.CloneOffset) == k)
+    }
+  }
+
   test("hyperplane-LSH ANN over planted neighbors: exact and ×2 clones " +
       "occupy ranks 1 and 2 for every query") {
     val emb = PlantedFixtures.plantedEmbeddings(spark, sfDir)
