@@ -221,7 +221,7 @@ object SparkEntry {
         graft.fixtures.PlantedFixtures.chainDupDocs(s, d))
       val pairs = TextOps.minhashLshOf(s, docs, s"planted-chain:$d")
         .select("doc_a", "doc_b")
-      TextOps.connectedComponents(s, pairs)
+      TextOps.connectedComponents(pairs)
     }),
     // ---- training-data pipeline: vectors ----
     "q_ann_cosine" -> ((s, d) => VectorOps.annBruteForce(s, d)),

@@ -59,6 +59,15 @@ object PlantedFixtures {
     expr(s"array_join(transform(sequence(0, ${BaseWords - 1}), " +
       "i -> concat('w', k, 'x', i)), ' ')")
 
+  /** `text` plus `AppendWords` fresh words — ONE definition of the
+    * bounded perturbation (the Jaccard ≈ 0.92 reasoning in both the
+    * near-dup and chain corpora rests on exactly this construction).
+    */
+  private def appendedText(text: Column): Column =
+    concat(text, lit(" "),
+      expr(s"array_join(transform(sequence(0, ${AppendWords - 1}), " +
+        "i -> concat('z', k, 'a', i)), ' ')"))
+
   private def withVariant(variants: Seq[String]) =
     element_at(array(variants.map(lit): _*),
       (pmod(floor(col("k") / 2), lit(variants.size)).cast("int") + 1))
@@ -81,9 +90,7 @@ object PlantedFixtures {
       when(col("variant") === "upper", upper(col("text")))
         .when(col("variant") === "space",
           regexp_replace(col("text"), " ", "  "))
-        .otherwise(concat(col("text"), lit(" "),
-          expr(s"array_join(transform(sequence(0, ${AppendWords - 1}), " +
-            "i -> concat('z', k, 'a', i)), ' ')"))))
+        .otherwise(appendedText(col("text"))))
 
   /** Bag-of-words corpus (SimHash): variants upper / space / reverse —
     * all three preserve the unigram bag exactly, so clone SimHash ==
@@ -111,12 +118,15 @@ object PlantedFixtures {
 
   /** Chain corpus for dedup CLUSTERING: per even key, a 3-member chain —
     * base k, an exact-after-normalization clone at k+CloneOffset (upper),
-    * and an append-perturbed clone at k+2·CloneOffset. The pair operator
-    * is guaranteed the k↔clone1 and k↔clone2 edges (clone1 additionally
-    * pairs with clone2 — same text modulo case), so the connected
-    * component is exactly {k, k+1e7, k+2e7} with canonical = k (min id),
-    * closed-form in DuckDB regardless of WHICH of the 2-3 edges LSH
-    * emits.
+    * and an append-perturbed clone at k+2·CloneOffset. Edge guarantees:
+    * k↔clone1 is CERTAIN (identical shingle sets → identical signatures);
+    * k↔clone2 and clone1↔clone2 are each near-certain (clone2 differs
+    * from BOTH by the same `AppendWords` appended words → Jaccard ≈ 0.92,
+    * 16-band miss probability ≈ 2.6e-9, fixed by corpus determinism).
+    * Any of the {k↔clone2, clone1↔clone2} edges connects clone2, so the
+    * component is {k, k+1e7, k+2e7} with canonical = k (min id) —
+    * closed-form in DuckDB regardless of WHICH of the probabilistic edges
+    * LSH emits, as long as at least one does (verified at every scale).
     */
   def chainDupDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val base = partKeys(spark, sfDir).withColumn("text", baseTextExpr)
@@ -124,9 +134,7 @@ object PlantedFixtures {
     val clone1 = even.select((col("k") + CloneOffset).as("doc_id"),
       upper(col("text")).as("text"))
     val clone2 = even.select((col("k") + 2 * CloneOffset).as("doc_id"),
-      concat(col("text"), lit(" "),
-        expr(s"array_join(transform(sequence(0, ${AppendWords - 1}), " +
-          "i -> concat('z', k, 'a', i)), ' ')")).as("text"))
+      appendedText(col("text")).as("text"))
     base.select(col("k").as("doc_id"), col("text"))
       .unionByName(clone1).unionByName(clone2)
   }

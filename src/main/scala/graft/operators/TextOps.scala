@@ -258,8 +258,15 @@ object TextOps {
     * iterative-DataFrame trap: without it, round N re-executes rounds
     * 1..N-1).
     */
-  def connectedComponents(spark: SparkSession, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // the checkpointed blocks of a superseded round are released
+    // EXPLICITLY (not left to the async ContextCleaner): at pair scale a
+    // 20-round run would otherwise hold every round's label set in
+    // executor storage concurrently
+    def checkpointBlocks(df: DataFrame) =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -276,13 +283,21 @@ object TextOps {
         .select(col("dst").as("id"), col("label"))
       val next = labels.unionByName(viaNeighbors)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // eager: next is fully materialized here
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).count()
+      // next no longer depends on the previous round (lineage truncated at
+      // its checkpoint) and `changed` has been computed — safe to free
+      checkpointBlocks(labels).foreach(_.unpersist(false))
       labels = next
       converged = changed == 0
       iter += 1
     }
+    // silent truncation would SPLIT a duplicate component into different
+    // dedup groups — refuse instead (deep chains need a larger maxIter)
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(component diameter exceeds maxIter — raise it)")
     labels.select(col("id").as("doc_id"), col("label").as("canonical_doc_id"))
   }
 

@@ -122,22 +122,41 @@ object EventStream {
   // ---- stateful politeness pacing ----
 
   final case class FetchRequest(host: String, unit_path: String, ts: Timestamp)
-  final case class PacerState(lastScheduledMs: Long, scheduledCount: Long)
+  final case class PacerState(lastScheduledMs: Long, scheduledCount: Long,
+      windowStartMs: Long = 0L, windowUsed: Long = 0L)
   final case class ScheduledFetch(host: String, unit_path: String,
       scheduled_ms: Long, position: Long)
 
   /** Per-host pacing state machine: each incoming request is assigned the
     * earliest slot ≥ lastScheduled + minInterval (rate_limit.py:37-50 as
-    * streaming state). Deterministic given per-host arrival order.
+    * streaming state), and — when a window budget is configured (R1,
+    * rate_limit.py:15-34, same semantics as the batch FetchStage) — a slot
+    * whose window still has budget, else the next window start.
+    * Deterministic given per-host arrival order.
     */
   def paceBatch(requests: Iterator[FetchRequest], state: PacerState,
-      minIntervalMs: Long): (Seq[ScheduledFetch], PacerState) = {
+      minIntervalMs: Long, budgetRequests: Int = 0,
+      windowMs: Long = 0L): (Seq[ScheduledFetch], PacerState) = {
     var s = state
     val out = requests.map { r =>
-      val slot =
+      var slot =
         if (s.scheduledCount == 0L) math.max(0L, r.ts.getTime)
         else math.max(r.ts.getTime, s.lastScheduledMs + minIntervalMs)
-      s = PacerState(slot, s.scheduledCount + 1)
+      var winStart = s.windowStartMs
+      var used = s.windowUsed
+      if (budgetRequests > 0 && windowMs > 0) {
+        val curWin = math.max(winStart, slot / windowMs * windowMs)
+        val usedNow = if (curWin > winStart) 0L else used
+        if (usedNow + 1 > budgetRequests) {
+          slot = curWin + windowMs // sleep until the window resets
+          winStart = slot
+          used = 1L
+        } else {
+          winStart = curWin
+          used = usedNow + 1
+        }
+      }
+      s = PacerState(slot, s.scheduledCount + 1, winStart, used)
       ScheduledFetch(r.host, r.unit_path, slot, s.scheduledCount)
     }.toSeq
     (out, s)
@@ -145,23 +164,23 @@ object EventStream {
 
   def politenessPacer(requests: Dataset[FetchRequest],
       minIntervalMs: Long = 1000L): Dataset[ScheduledFetch] =
-    pacerImpl(requests, Map.empty, minIntervalMs)
+    pacerImpl(requests, Map.empty,
+      graft.fetch.FetchStage.Politeness(minIntervalMs, 0))
 
-  /** Config-driven pacer: per-HOST intervals from the validated
-    * `CrawlConfig` (the streaming twin of the batch fetch stage reading
-    * `config.politeness`) — unconfigured hosts pace at the fallback.
+  /** Config-driven pacer: per-HOST budgets from the validated
+    * `CrawlConfig` — the streaming twin of the batch fetch stage, honoring
+    * BOTH the fixed interval (R2) and the request-budget window (R1) per
+    * host; unconfigured hosts pace at the fallback.
     */
   def politenessPacer(requests: Dataset[FetchRequest],
       config: graft.CrawlConfig): Dataset[ScheduledFetch] = {
     val c = config.validated
-    pacerImpl(requests,
-      c.politeness.map { case (h, p) => h -> p.minIntervalMs },
-      c.fallbackPoliteness.minIntervalMs)
+    pacerImpl(requests, c.politeness, c.fallbackPoliteness)
   }
 
   private def pacerImpl(requests: Dataset[FetchRequest],
-      hostIntervals: Map[String, Long],
-      fallbackMs: Long): Dataset[ScheduledFetch] = {
+      hostPol: Map[String, graft.fetch.FetchStage.Politeness],
+      fallback: graft.fetch.FetchStage.Politeness): Dataset[ScheduledFetch] = {
     import requests.sparkSession.implicits._
     requests
       .groupByKey(_.host)
@@ -171,8 +190,9 @@ object EventStream {
           val prev = state.getOption.getOrElse(PacerState(Long.MinValue, 0L))
           // deterministic order within the micro-batch
           val ordered = rows.toSeq.sortBy(r => (r.ts.getTime, r.unit_path))
+          val p = hostPol.getOrElse(host, fallback)
           val (out, next) = paceBatch(ordered.iterator, prev,
-            hostIntervals.getOrElse(host, fallbackMs))
+            p.minIntervalMs, p.budgetRequests, p.windowMs)
           state.update(next)
           out.iterator
       }

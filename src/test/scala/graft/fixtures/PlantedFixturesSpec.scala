@@ -58,7 +58,7 @@ class PlantedFixturesSpec extends SparkTestBase {
     val docs = PlantedFixtures.chainDupDocs(spark, sfDir)
     val pairs = TextOps.minhashLshOf(spark, docs, "spec-chain")
       .select("doc_a", "doc_b")
-    val comp = TextOps.connectedComponents(spark, pairs)
+    val comp = TextOps.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
     val evens = spark.read.parquet(s"$sfDir/part.parquet")
       .select("p_partkey").as[Long].collect().filter(_ % 2 == 0)

@@ -183,6 +183,10 @@ class EventStreamSpec extends SparkTestBase {
     val rows = spark.table("paced_cfg_out")
       .as[EventStream.ScheduledFetch].collect()
     q.stop()
+    // every host emitted all its rows — the gap checks below must never
+    // pass vacuously on an empty sequence
+    for (h <- Seq("slow.com", "fast.com", "other.com"))
+      assert(rows.count(_.host == h) == 3, s"$h rows missing")
     def gaps(h: String): Seq[Long] = rows.filter(_.host == h).sortBy(_.position)
       .map(_.scheduled_ms).sliding(2).map { case Array(a, b) => b - a }.toSeq
     assert(gaps("slow.com").forall(_ >= 7000L), s"slow gaps ${gaps("slow.com")}")
@@ -190,5 +194,23 @@ class EventStreamSpec extends SparkTestBase {
       s"fast host paced at the wrong interval: ${gaps("fast.com")}")
     assert(gaps("other.com").forall(g => g >= 2000L && g < 7000L),
       s"fallback host paced at the wrong interval: ${gaps("other.com")}")
+  }
+
+  test("pacer honors the R1 window budget: requests beyond the per-window " +
+      "budget sleep until the window resets (FetchStage parity)") {
+    // budget 3 per 10 s window, 1 s interval: slots 0,1000,2000 fill the
+    // first window's budget; the 4th sleeps to 10000, the 5th paces from
+    // there
+    val reqs = (1 to 5).map(i =>
+      EventStream.FetchRequest("gh.com", s"u$i", new Timestamp(0L)))
+    val (out, st) = EventStream.paceBatch(reqs.iterator,
+      EventStream.PacerState(Long.MinValue, 0L),
+      minIntervalMs = 1000L, budgetRequests = 3, windowMs = 10000L)
+    assert(out.map(_.scheduled_ms) == Seq(0L, 1000L, 2000L, 10000L, 11000L))
+    assert(st.windowStartMs == 10000L && st.windowUsed == 2L)
+    // without a budget the same stream paces purely by interval
+    val (noBudget, _) = EventStream.paceBatch(reqs.iterator,
+      EventStream.PacerState(Long.MinValue, 0L), minIntervalMs = 1000L)
+    assert(noBudget.map(_.scheduled_ms) == Seq(0L, 1000L, 2000L, 3000L, 4000L))
   }
 }
