@@ -41,8 +41,11 @@ final case class CrawlConfig(
       Option.when(p.budgetRequests == 0 && p.windowMs != 0)(
         s"$where.windowMs requires budgetRequests")).flatten
     val hostRules = politeness.toSeq.sortBy(_._1).flatMap { case (host, p) =>
-      val hostErr = Option.when(
-        host.isEmpty || host.exists(c => c == '/' || c == ':' || c.isUpper))(
+      // full hostname grammar, not just a few banned characters: a typo'd
+      // "github .com" or "user@host" would otherwise validate and then
+      // never match a real host — the exact silent-misconfiguration class
+      // this layer exists to reject
+      val hostErr = Option.when(!CrawlConfig.HostnameRe.matches(host))(
         s"politeness host '$host' must be a bare lowercase hostname")
       hostErr.toSeq ++ checkPoliteness(s"politeness['$host']", p)
     }
@@ -75,6 +78,13 @@ final case class CrawlConfig(
 object CrawlConfig {
   val SeenKinds: Set[String] = Set("bloom", "cuckoo")
 
+  /** Bare lowercase hostname: dot-separated LDH labels (letters/digits/
+    * hyphens, no leading/trailing hyphen, ≤ 63 chars each) — no scheme,
+    * port, path, userinfo, or whitespace.
+    */
+  val HostnameRe: scala.util.matching.Regex =
+    "^[a-z0-9](?:[a-z0-9-]{0,61}[a-z0-9])?(?:\\.[a-z0-9](?:[a-z0-9-]{0,61}[a-z0-9])?)*$".r
+
   /** The one kind→store mapping (Bench and the config layer share it). */
   def seenFiltersFor(kind: String): graft.frontier.SeenFilterStore = kind match {
     case "bloom"  => graft.frontier.SeenFilters.bloom
@@ -101,6 +111,41 @@ object CrawlConfig {
     * unknown fields rather than silently ignoring a typo'd budget).
     */
   def fromJson(input: String): Either[Seq[String], CrawlConfig] = {
+    val parsed =
+      try Json.parse(input)
+      catch { case e: Exception =>
+        return Left(Seq(s"malformed config JSON: ${e.getMessage}")) }
+    fromValue(parsed)
+  }
+
+  /** Parse the YAML user-config shape — the reference's actual user config
+    * is YAML (`sample-config.yml` via `config.py:35-117`), so the engine
+    * accepts the same surface:
+    *
+    * ```yaml
+    * politeness:
+    *   github.com:
+    *     min_interval_ms: 5000
+    *     budget_requests: 30
+    *     window_ms: 60000
+    * fallback:
+    *   min_interval_ms: 1000
+    * seen_kind: bloom
+    * ```
+    *
+    * Same schema, same defaults-merge, same unknown-key rejection as
+    * `fromJson` (both feed the one `fromValue` core through the subset
+    * YAML parser already used for v1 manifests, `formats/Yaml`).
+    */
+  def fromYaml(input: String): Either[Seq[String], CrawlConfig] = {
+    val parsed =
+      try graft.formats.Yaml.parse(input)
+      catch { case e: Exception =>
+        return Left(Seq(s"malformed config YAML: ${e.getMessage}")) }
+    fromValue(parsed)
+  }
+
+  private def fromValue(parsed: Json.Value): Either[Seq[String], CrawlConfig] = {
     val topKeys = Set("politeness", "fallback", "max_error_retries",
       "seen_kind", "rdf_sink", "raw_sink", "auto_compact_alpha")
     val polKeys = Set("min_interval_ms", "max_retries", "budget_requests",
@@ -162,12 +207,8 @@ object CrawlConfig {
         budgetRequests = numInt("budget_requests", base.budgetRequests),
         windowMs = num("window_ms", base.windowMs))
     }
-    val parsed =
-      try Some(Json.parse(input))
-      catch { case e: Exception =>
-        return Left(Seq(s"malformed config JSON: ${e.getMessage}")) }
     parsed match {
-      case Some(j: Json.JObj) =>
+      case j: Json.JObj =>
         errs ++= j.v.map(_._1).filterNot(topKeys)
           .map(k => s"unknown config key '$k'")
         val d = default
