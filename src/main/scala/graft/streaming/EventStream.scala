@@ -122,42 +122,62 @@ object EventStream {
   // ---- stateful politeness pacing ----
 
   final case class FetchRequest(host: String, unit_path: String, ts: Timestamp)
-  final case class PacerState(lastScheduledMs: Long, scheduledCount: Long,
+  /** `nextFreeMs` is the completion time of the previous request — the
+    * earliest slot the next request may start at (the streaming form of
+    * the batch stage's per-host virtual clock, FetchStage.scala:197-198).
+    */
+  final case class PacerState(nextFreeMs: Long, scheduledCount: Long,
       windowStartMs: Long = 0L, windowUsed: Long = 0L)
   final case class ScheduledFetch(host: String, unit_path: String,
-      scheduled_ms: Long, position: Long)
+      scheduled_ms: Long, position: Long, completed_ms: Long)
 
-  /** Per-host pacing state machine: each incoming request is assigned the
-    * earliest slot ≥ lastScheduled + minInterval (rate_limit.py:37-50 as
-    * streaming state), and — when a window budget is configured (R1,
-    * rate_limit.py:15-34, same semantics as the batch FetchStage) — a slot
-    * whose window still has budget, else the next window start.
+  /** Per-host pacing state machine — the EXACT batch-FetchStage recurrence
+    * as streaming state (rate_limit.py:15-50 semantics): each request
+    * costs `attempts + 1` slots (every retry is a request — charged
+    * against BOTH the interval clock and the R1 window budget, matching
+    * `FetchStage.run`'s `usedNow + attempts + 1` accounting at
+    * FetchStage.scala:183-197), starts at the earliest slot ≥ the previous
+    * request's completion (≥ its arrival time), and sleeps to the next
+    * window start when the remaining window budget can't cover it.
     * Deterministic given per-host arrival order.
+    *
+    * Parity scope: equal to the batch stage's schedule for UNSALTED hosts
+    * whenever arrival times never outrun the virtual clock (the batch
+    * stage has no arrival times); batch salting splits one host across
+    * politeness streams, which streaming models as distinct state keys.
     */
   def paceBatch(requests: Iterator[FetchRequest], state: PacerState,
       minIntervalMs: Long, budgetRequests: Int = 0,
-      windowMs: Long = 0L): (Seq[ScheduledFetch], PacerState) = {
+      windowMs: Long = 0L, attemptsOf: FetchRequest => Int = _ => 0,
+      maxRetries: Int = Int.MaxValue): (Seq[ScheduledFetch], PacerState) = {
     var s = state
     val out = requests.map { r =>
+      // in-stage retries are bounded exactly like the batch stage
+      // (attempts = min(transient failures, maxRetries), FetchStage.scala:174)
+      val attempts = math.min(math.max(0, attemptsOf(r)), maxRetries)
+      val cost = attempts + 1L
       var slot =
         if (s.scheduledCount == 0L) math.max(0L, r.ts.getTime)
-        else math.max(r.ts.getTime, s.lastScheduledMs + minIntervalMs)
+        else math.max(r.ts.getTime, s.nextFreeMs)
       var winStart = s.windowStartMs
       var used = s.windowUsed
       if (budgetRequests > 0 && windowMs > 0) {
         val curWin = math.max(winStart, slot / windowMs * windowMs)
         val usedNow = if (curWin > winStart) 0L else used
-        if (usedNow + 1 > budgetRequests) {
+        if (usedNow + cost > budgetRequests) {
           slot = curWin + windowMs // sleep until the window resets
           winStart = slot
-          used = 1L
+          used = cost
         } else {
           winStart = curWin
-          used = usedNow + 1
+          used = usedNow + cost
         }
       }
-      s = PacerState(slot, s.scheduledCount + 1, winStart, used)
-      ScheduledFetch(r.host, r.unit_path, slot, s.scheduledCount)
+      // each attempt consumes one interval slot (batch: completed =
+      // start + interval × (attempts + 1))
+      val completed = slot + minIntervalMs * cost
+      s = PacerState(completed, s.scheduledCount + 1, winStart, used)
+      ScheduledFetch(r.host, r.unit_path, slot, s.scheduledCount, completed)
     }.toSeq
     (out, s)
   }
@@ -165,7 +185,7 @@ object EventStream {
   def politenessPacer(requests: Dataset[FetchRequest],
       minIntervalMs: Long = 1000L): Dataset[ScheduledFetch] =
     pacerImpl(requests, Map.empty,
-      graft.fetch.FetchStage.Politeness(minIntervalMs, 0))
+      graft.fetch.FetchStage.Politeness(minIntervalMs, 0), _ => 0)
 
   /** Config-driven pacer: per-HOST budgets from the validated
     * `CrawlConfig` — the streaming twin of the batch fetch stage, honoring
@@ -173,14 +193,27 @@ object EventStream {
     * host; unconfigured hosts pace at the fallback.
     */
   def politenessPacer(requests: Dataset[FetchRequest],
-      config: graft.CrawlConfig): Dataset[ScheduledFetch] = {
+      config: graft.CrawlConfig): Dataset[ScheduledFetch] =
+    politenessPacer(requests, config, _ => 0)
+
+  /** Config-driven pacer with retry modeling: `attemptsOf` reports the
+    * transient failures a request will see (the streaming analogue of the
+    * batch stage's `outcome` injector) — each request then charges
+    * `attempts + 1` slots, so the streaming schedule equals the batch
+    * golden schedule under the same outcomes, window budgets included
+    * (EventStreamSpec pins the equality on a budget that actually trips).
+    */
+  def politenessPacer(requests: Dataset[FetchRequest],
+      config: graft.CrawlConfig,
+      attemptsOf: FetchRequest => Int): Dataset[ScheduledFetch] = {
     val c = config.validated
-    pacerImpl(requests, c.politeness, c.fallbackPoliteness)
+    pacerImpl(requests, c.politeness, c.fallbackPoliteness, attemptsOf)
   }
 
   private def pacerImpl(requests: Dataset[FetchRequest],
       hostPol: Map[String, graft.fetch.FetchStage.Politeness],
-      fallback: graft.fetch.FetchStage.Politeness): Dataset[ScheduledFetch] = {
+      fallback: graft.fetch.FetchStage.Politeness,
+      attemptsOf: FetchRequest => Int): Dataset[ScheduledFetch] = {
     import requests.sparkSession.implicits._
     requests
       .groupByKey(_.host)
@@ -192,7 +225,8 @@ object EventStream {
           val ordered = rows.toSeq.sortBy(r => (r.ts.getTime, r.unit_path))
           val p = hostPol.getOrElse(host, fallback)
           val (out, next) = paceBatch(ordered.iterator, prev,
-            p.minIntervalMs, p.budgetRequests, p.windowMs)
+            p.minIntervalMs, p.budgetRequests, p.windowMs,
+            attemptsOf, p.maxRetries)
           state.update(next)
           out.iterator
       }

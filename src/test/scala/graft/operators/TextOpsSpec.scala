@@ -86,6 +86,44 @@ class TextOpsSpec extends SparkTestBase {
     for (b <- 0 until 30) assert(pairs.contains((b * 10L, b * 10L + 2)))
   }
 
+  test("alternating-star CC: a deep chain converges in O(log n) rounds " +
+      "where min-label is O(diameter) and refuses loudly (Kiveris et al. " +
+      "SoCC 2014; VERDICT r4 #5)") {
+    val n = 64L
+    val path = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // min-label needs diameter (63) rounds: a small budget must refuse,
+    // never silently split the component
+    val thrown = intercept[IllegalArgumentException](
+      TextOps.connectedComponents(path, maxIter = 5))
+    assert(thrown.getMessage.contains("did not converge"))
+    val (labels, rounds) =
+      TextOps.connectedComponentsAlternatingWithRounds(path)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == n && got.values.forall(_ == 0L),
+      s"expected one component rooted at 0, got ${got.values.toSet}")
+    assert(rounds <= 12, s"expected O(log n) rounds for a 64-path, got $rounds")
+    assert(rounds < 63, "no better than min-label")
+  }
+
+  test("alternating-star CC equals min-label CC on a mixed near-dup graph " +
+      "(chains, triangle, zigzag, singletons-by-absence)") {
+    val pairs = (
+      (0L until 30L by 10).flatMap(k => Seq((k, k + 1), (k + 1, k + 2))) ++
+        Seq((100L, 101L), (101L, 102L), (100L, 102L)) ++ // triangle
+        Seq((200L, 205L), (205L, 201L), (201L, 207L)) // zigzag ids
+      ).toDF("doc_a", "doc_b")
+    val viaMinLabel = TextOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    val viaStars = TextOps.connectedComponentsAlternating(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(viaStars == viaMinLabel)
+    assert(viaStars.nonEmpty)
+    // spot closed forms
+    val m = viaStars.toMap
+    assert(Seq(200L, 201L, 205L, 207L).forall(m(_) == 200L)) // zigzag min root
+    assert(Seq(100L, 101L, 102L).forall(m(_) == 100L))
+  }
+
   test("langId picks the marker language deterministically") {
     val dir = Files.createTempDirectory("graft-lang").toString
     Seq(

@@ -196,6 +196,84 @@ class EventStreamSpec extends SparkTestBase {
       s"fallback host paced at the wrong interval: ${gaps("other.com")}")
   }
 
+  import EventStreamSpec.residueAttempts
+
+  test("R1 retry parity: streaming pacer schedule EQUALS the batch " +
+      "FetchStage schedule under transient failures with a tripping " +
+      "window budget (VERDICT r4 #1; rate_limit.py charges per request, " +
+      "retries included)") {
+    val n = 500L
+    val pol = graft.fetch.FetchStage.Politeness(100L, 3,
+      budgetRequests = 5, windowMs = 2000L)
+    def path(id: Long) = f"gh.com/u$id%05d" // zero-padded: lexicographic = id order
+
+    // batch golden schedule: the REAL fetch stage over a single-host frontier
+    val tasks = spark.createDataset((1L to n).map(id =>
+      graft.fetch.FetchTask(path(id), "gh.com", id, 1, id, 0L, 0L, 0L, false)))
+    val batch = graft.fetch.FetchStage.run(spark, tasks,
+      politeness = Map("gh.com" -> pol)).collect()
+      .map(r => r.unit_path -> ((r.pos, r.scheduled_ms, r.completed_ms))).toMap
+
+    // the budget must actually TRIP in this fixture: a budget sleep shows
+    // as an idle gap (scheduled > previous completed; with ts=0 arrivals
+    // nothing else can create one)
+    val ordered = batch.values.toSeq.sortBy(_._1)
+    val trips = ordered.sliding(2).count {
+      case Seq((_, _, c1), (_, s2, _)) => s2 > c1; case _ => false
+    }
+    assert(trips > 0, "fixture must trip the window budget")
+    // and retries must be present (cost-3 fetches: completed - scheduled = 300)
+    assert(ordered.exists { case (_, s, c) => c - s == 300L })
+
+    // streaming twin: same outcomes via attemptsOf, same budget via config
+    val (out, _) = EventStream.paceBatch(
+      (1L to n).iterator.map(id =>
+        EventStream.FetchRequest("gh.com", path(id), new Timestamp(0L))),
+      EventStream.PacerState(Long.MinValue, 0L),
+      pol.minIntervalMs, pol.budgetRequests, pol.windowMs,
+      r => residueAttempts(r.unit_path.drop(8).toLong), pol.maxRetries)
+    val streaming = out.map(f =>
+      f.unit_path -> ((f.position, f.scheduled_ms, f.completed_ms))).toMap
+    assert(streaming == batch,
+      "streaming pacer schedule diverges from the batch golden schedule")
+  }
+
+  test("R1 retry parity holds ACROSS micro-batches through the streaming " +
+      "query (state carry-over with a tripping budget)") {
+    implicit val sqlCtx = spark.sqlContext
+    val n = 300L
+    val pol = graft.fetch.FetchStage.Politeness(100L, 3,
+      budgetRequests = 5, windowMs = 2000L)
+    def path(id: Long) = f"gh.com/u$id%05d"
+    val tasks = spark.createDataset((1L to n).map(id =>
+      graft.fetch.FetchTask(path(id), "gh.com", id, 1, id, 0L, 0L, 0L, false)))
+    val batch = graft.fetch.FetchStage.run(spark, tasks,
+      politeness = Map("gh.com" -> pol)).collect()
+      .map(r => r.unit_path -> ((r.pos, r.scheduled_ms, r.completed_ms))).toMap
+
+    val cfg = graft.CrawlConfig.default.copy(politeness = Map("gh.com" -> pol))
+    val input = MemoryStream[EventStream.FetchRequest]
+    val paced = EventStream.politenessPacer(input.toDS(), cfg,
+      r => residueAttempts(r.unit_path.drop(8).toLong))
+    val q = paced.writeStream.outputMode("append")
+      .format("memory").queryName("paced_parity_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt5").toString)
+      .start()
+    input.addData((1L to n / 2).map(id =>
+      EventStream.FetchRequest("gh.com", path(id), new Timestamp(0L))): _*)
+    q.processAllAvailable()
+    input.addData((n / 2 + 1 to n).map(id =>
+      EventStream.FetchRequest("gh.com", path(id), new Timestamp(0L))): _*)
+    q.processAllAvailable()
+    val streaming = spark.table("paced_parity_out")
+      .as[EventStream.ScheduledFetch].collect()
+      .map(f => f.unit_path -> ((f.position, f.scheduled_ms, f.completed_ms))).toMap
+    q.stop()
+    assert(streaming.size == n)
+    assert(streaming == batch,
+      "cross-micro-batch streaming schedule diverges from batch")
+  }
+
   test("pacer honors the R1 window budget: requests beyond the per-window " +
       "budget sleep until the window resets (FetchStage parity)") {
     // budget 3 per 10 s window, 1 s interval: slots 0,1000,2000 fill the
@@ -213,4 +291,17 @@ class EventStreamSpec extends SparkTestBase {
       EventStream.PacerState(Long.MinValue, 0L), minIntervalMs = 1000L)
     assert(noBudget.map(_.scheduled_ms) == Seq(0L, 1000L, 2000L, 3000L, 4000L))
   }
+}
+
+object EventStreamSpec {
+  /** The outcome residues of FetchStage.defaultOutcome, as the attempts
+    * the pacer charges (transient failures; the maxRetries cap is the
+    * pacer's). Lives on the serializable companion: the streaming query
+    * ships the attemptsOf closure to executors.
+    */
+  def residueAttempts(id: Long): Int =
+    if (id % 101 == 0) 0
+    else if (id % 97 == 0) 2
+    else if (id % 997 == 0) Int.MaxValue
+    else 0
 }
