@@ -173,9 +173,21 @@ object Bench {
       threads / ((System.nanoTime() - t0) / 1e9) // work units per second
     }
     crawlRun(scale4N, limit = Some(40000L)) // JIT warm-up, untimed
-    val calN = calibrate(scaleN)
-    val cal4N = calibrate(scale4N)
-    val osScaling = (cal4N / calN) / 4.0
+    // os scaling can never truly exceed 1.0 (4N threads cannot deliver more
+    // than 4× the per-thread capacity of N threads); a reading > ~1.0 means
+    // the calibration window itself was stolen from (BENCH_r04's driver run
+    // read 1.404 and poisoned the vs-ceiling number) — retry a few times and
+    // FLAG a still-implausible reading instead of silently reporting it
+    def calibratePair(): (Double, Int) = {
+      var tries = 0
+      var os = 0.0
+      while ({ val calN = calibrate(scaleN)
+               os = (calibrate(scale4N) / calN) / 4.0
+               tries += 1
+               os > 1.05 && tries < 3 }) ()
+      (os, tries - 1)
+    }
+    val (osScaling, calRetries) = calibratePair()
     val runsBoth = Seq(crawlRun(scaleN), crawlRun(scale4N),
       crawlRun(scaleN), crawlRun(scale4N))
     val runsN = Seq(runsBoth(0), runsBoth(2))
@@ -211,8 +223,13 @@ object Bench {
         spark, keys, "bucket", "url_hash", s"$root/cuckoo")
       val removeSec = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
+      // autoCompactAlpha = 0: the timed window must measure the targeted
+      // refetch itself — the default policy could fire a compaction inside
+      // it (the K removed keys append K delta events) and overstate the
+      // invalidation latency; compaction cost is a maintenance number, not
+      // a refetch number
       val s2 = CrawlPipeline.run(spark, storeDir, root, None, salts,
-        seenFilters = seenFilters)
+        seenFilters = seenFilters, autoCompactAlpha = 0)
       val refetchSec = (System.nanoTime() - t1) / 1e9
       scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
       f""","invalidation":{"removed_keys":${keyRows.length},"remove_failed":$failed,""" +
@@ -228,6 +245,8 @@ object Bench {
         f""""crawl_n":$n32,"sec_n":$sec8%.2f,"sec_4n":$sec32%.2f,""" +
         f""""all_run_secs":$allRuns,""" +
         f""""os_cpu_scaling_n_to_4n":$osScaling%.3f,""" +
+        f""""os_calibration_retries":$calRetries,""" +
+        f""""os_calibration_implausible":${osScaling > 1.05},""" +
         f""""efficiency_n_to_4n":$efficiency%.3f,""" +
         f""""seen_kind":"$seenKind",""" +
         f""""efficiency_vs_os_ceiling":${efficiency / math.max(0.01, osScaling)}%.3f$invalidation}"""

@@ -73,7 +73,10 @@ object ImageFunctions {
     * Block-mean downsampling (not interpolation) so the hash is exactly
     * reproducible from pixel data alone.
     */
-  def aHash64(pixels: Array[Int], w: Int, h: Int): Long = {
+  /** 8×8 block mean luminances (the shared downsample behind aHash and
+    * the continuous image embedding).
+    */
+  def blockGray64(pixels: Array[Int], w: Int, h: Int): Array[Double] = {
     val gray = new Array[Double](64)
     var by = 0
     while (by < 8) {
@@ -97,6 +100,11 @@ object ImageFunctions {
       }
       by += 1
     }
+    gray
+  }
+
+  def aHash64(pixels: Array[Int], w: Int, h: Int): Long = {
+    val gray = blockGray64(pixels, w, h)
     val mean = gray.sum / 64.0
     var hash = 0L
     var i = 0

@@ -52,15 +52,23 @@ object MultimodalOps {
 
   def resizeUdf(maxDim: Int) = udf { bytes: Array[Byte] => resizeImage(bytes, maxDim) }
 
-  /** Image → 64-dim embedding (real, deterministic): the aHash bit pattern
-    * relaxed to block luminance deltas — bridges image payloads into the
-    * ANN/VectorOps path.
+  /** Image → 64-dim embedding (real, deterministic): mean-centered 8×8
+    * block luminances (the CONTINUOUS relaxation of the aHash bit
+    * pattern) — bridges image payloads into the ANN/VectorOps path.
+    * Continuous values, unlike the ±1 bit vector, make distinct images
+    * collide at cosine 1.0 only when their downsampled luminance planes
+    * are bit-identical (tiny-store aHash collisions produced spurious
+    * exact ties). A perfectly uniform image centers to the zero vector
+    * (undefined cosine); it falls back to the raw block grays, which is
+    * degenerate-but-defined (all uniform images look alike — they do).
     */
   def imageEmbedding(bytes: Array[Byte]): Option[Array[Float]] =
     ImageFunctions.decode(bytes).map { img =>
-      val px = ImageFunctions.pixelsOf(img)
-      val hash = ImageFunctions.aHash64(px, img.getWidth, img.getHeight)
-      (0 until 64).map(i => if (((hash >> i) & 1L) == 1L) 1.0f else -1.0f).toArray
+      val gray = ImageFunctions.blockGray64(ImageFunctions.pixelsOf(img),
+        img.getWidth, img.getHeight)
+      val mean = gray.sum / 64.0
+      val centered = gray.map(g => (g - mean).toFloat)
+      if (centered.exists(_ != 0.0f)) centered else gray.map(_.toFloat)
     }
   val imageEmbeddingUdf = udf(imageEmbedding _)
 

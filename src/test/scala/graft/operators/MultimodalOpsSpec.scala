@@ -31,12 +31,36 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(math.abs(ratio0 - ratio1) < 0.5)
   }
 
-  test("image embedding feeds ANN: 64-dim, deterministic, self-similarity 1.0") {
+  test("image embedding feeds ANN: 64-dim, deterministic, discriminative") {
     val e1 = MultimodalOps.imageEmbedding(SyntheticStore.row(3L).bytes).get
     val e2 = MultimodalOps.imageEmbedding(SyntheticStore.row(3L).bytes).get
     assert(e1.length == 64 && e1.sameElements(e2))
-    val dot = e1.zip(e1).map { case (a, b) => a * b }.sum
-    assert(dot == 64.0f) // ±1 components
+    assert(e1.exists(_ != 0.0f), "degenerate zero embedding")
+    // continuous block luminances: distinct images must NOT tie at cos 1.0
+    // (the ±1 aHash form collided across the tiny synthetic store)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    for (other <- 1L to 20L if other != 3L) {
+      val eo = MultimodalOps.imageEmbedding(SyntheticStore.row(other).bytes).get
+      assert(cos(e1, eo) < cos(e1, e1), s"image $other ties with image 3")
+    }
+  }
+
+  test("re-encode at identity scale preserves pixels → embedding " +
+      "(the planted-clone guarantee q_multimodal_ann rests on)") {
+    // one id per store format (png/bmp/gif/jpg): decode → identity draw →
+    // png re-encode must reproduce the decoded pixels exactly, so the
+    // aHash embedding of the re-encoded copy is bit-identical
+    for (id <- Seq(1L, 2L, 3L, 4L, 17L, 100L)) {
+      val bytes = SyntheticStore.row(id).bytes
+      val re = MultimodalOps.resizeImage(bytes, 4096).get
+      assert(MultimodalOps.imageEmbedding(re).get.toSeq ==
+        MultimodalOps.imageEmbedding(bytes).get.toSeq,
+        s"re-encode changed the embedding of id=$id (${SyntheticStore.fmtOf(id)})")
+    }
   }
 
   test("audio/video stubs: deterministic typed metadata with real schema") {
