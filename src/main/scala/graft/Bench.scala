@@ -187,9 +187,16 @@ object Bench {
                os > 1.05 && tries < 3 }) ()
       (os, tries - 1)
     }
-    val (osScaling, calRetries) = calibratePair()
+    // calibrate on BOTH sides of the crawl runs: one short calibration
+    // window can itself be stolen from (r4's driver read an impossible
+    // 1.404; a later run read 0.382 next to a crawl that scaled at 0.70 —
+    // unrepresentatively LOW). vs-ceiling uses the MAX of the two readings
+    // (the most conservative ceiling → the smallest vs-ceiling claim).
+    val (osCalBefore, calRetries) = calibratePair()
     val runsBoth = Seq(crawlRun(scaleN), crawlRun(scale4N),
       crawlRun(scaleN), crawlRun(scale4N))
+    val (osCalAfter, calRetries2) = calibratePair()
+    val osScaling = math.max(osCalBefore, osCalAfter)
     val runsN = Seq(runsBoth(0), runsBoth(2))
     val runs4N = Seq(runsBoth(1), runsBoth(3))
     val (sec8, n8, _) = runsN.minBy(_._1)
@@ -245,7 +252,8 @@ object Bench {
         f""""crawl_n":$n32,"sec_n":$sec8%.2f,"sec_4n":$sec32%.2f,""" +
         f""""all_run_secs":$allRuns,""" +
         f""""os_cpu_scaling_n_to_4n":$osScaling%.3f,""" +
-        f""""os_calibration_retries":$calRetries,""" +
+        f""""os_cal_before":$osCalBefore%.3f,"os_cal_after":$osCalAfter%.3f,""" +
+        f""""os_calibration_retries":${calRetries + calRetries2},""" +
         f""""os_calibration_implausible":${osScaling > 1.05},""" +
         f""""efficiency_n_to_4n":$efficiency%.3f,""" +
         f""""seen_kind":"$seenKind",""" +

@@ -182,10 +182,14 @@ object TextOps {
   }
 
   /** MinHash signature: k hash permutations approximated by
-    * xxhash64(seed, shingle) minima, computed IN-ROW over the shingle array
-    * with builtin higher-order functions — zero shuffle (the naive
-    * explode→groupBy formulation shuffles k longs per shingle; this one
-    * never leaves the scan task). Same signature values either way.
+    * xxhash64(seed, h) minima over PRE-HASHED shingles, computed IN-ROW
+    * over the shingle array with builtin higher-order functions — zero
+    * shuffle (the naive explode→groupBy formulation shuffles k longs per
+    * shingle; this one never leaves the scan task). Each ~30-byte shingle
+    * STRING is hashed exactly once; the k per-seed permutations then mix
+    * the 8-byte value (hashing the string k times cost k× the bytes for
+    * identical min-wise behavior — the seeded rehash of a 64-bit id is
+    * just as much a pseudo-permutation of the shingle set).
     */
   def minhashSignatures(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame =
     minhashSignaturesOf(docs(spark, sfDir), k)
@@ -194,13 +198,13 @@ object TextOps {
     val words = split(trim(lower(col("text"))), "\\s+")
     val n = 5
     val sigCols = (0 until k).map { i =>
-      expr(s"array_min(transform(shingles, s -> xxhash64($i, s)))").as(s"mh_$i")
+      expr(s"array_min(transform(hs, h -> xxhash64($i, h)))").as(s"mh_$i")
     }
     docsDf
       .select(col("doc_id"), words.as("words"))
       .filter(size(col("words")) >= n)
-      .withColumn("shingles", expr(
-        s"array_distinct(transform(sequence(1, size(words) - ${n - 1}), i -> concat_ws(' ', slice(words, i, $n))))"))
+      .withColumn("hs", expr(
+        s"array_distinct(transform(sequence(1, size(words) - ${n - 1}), i -> xxhash64(concat_ws(' ', slice(words, i, $n)))))"))
       .select((col("doc_id") +: sigCols): _*)
   }
 
