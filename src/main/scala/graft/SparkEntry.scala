@@ -105,6 +105,57 @@ object SparkEntry {
       RepoEnrich.enrich(s, frontier)
         .select("k", "owner", "repo", "ref", "default_branch")
     }),
+    // the GraphQL client boundary made data (github.py:45-112): synthetic
+    // QUERY_PROJECT responses (deterministic functions of the key, nulls
+    // where the API omits optionals) decoded by the REAL from_json schema +
+    // projection in GithubGraphQL.parseProjectResponses — the repo-info
+    // dimension S4/J3 consumes, plus the rateLimit budget columns
+    "q_repo_enrich_graphql" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val base = s.read.parquet(s"$d/part.parquet").select(col("p_partkey").as("k"))
+      def topicNode(i: Int) = struct(struct(lit(s"topic$i").as("name")).as("topic"))
+      val repo = struct(
+        struct(concat(lit("owner"), pmod(col("k"), lit(10))).as("login")).as("owner"),
+        concat(lit("repo"), col("k")).as("name"),
+        (pmod(col("k"), lit(2)) === 0).as("isInOrganization"),
+        concat(lit("https://github.com/owner"), pmod(col("k"), lit(10)),
+          lit("/repo"), col("k")).as("url"),
+        when(pmod(col("k"), lit(5)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("Repo "), col("k"))).as("description"),
+        lit("2021-02-03T04:05:06Z").as("createdAt"),
+        lit("2024-05-06T07:08:09Z").as("updatedAt"),
+        when(pmod(col("k"), lit(7)) === 0, lit(null).cast("struct<name:string>"))
+          .otherwise(struct(element_at(
+            array(lit("main"), lit("master"), lit("develop")),
+            (pmod(col("k"), lit(3)) + 1).cast("int")).as("name")))
+          .as("defaultBranchRef"),
+        when(pmod(col("k"), lit(3)) === 0,
+          struct(struct(concat(lit("v"), pmod(col("k"), lit(5))).as("name")).as("tag")))
+          .otherwise(lit(null).cast("struct<tag:struct<name:string>>"))
+          .as("latestRelease"),
+        when(pmod(col("k"), lit(4)) === 3, lit(null).cast("struct<spdxId:string>"))
+          .otherwise(struct(element_at(
+            array(lit("MIT"), lit("Apache-2.0"), lit("GPL-3.0-or-later")),
+            (pmod(col("k"), lit(3)) + 1).cast("int")).as("spdxId")))
+          .as("licenseInfo"),
+        struct(slice(array(topicNode(1), topicNode(2)), lit(1),
+          pmod(col("k"), lit(3)).cast("int")).as("nodes")).as("repositoryTopics"),
+        (pmod(col("k"), lit(11)) === 0).as("isArchived"),
+        pmod(col("k"), lit(100)).as("forkCount"),
+        pmod(col("k") * 3, lit(1000)).as("stargazerCount"))
+      val rateLimit = struct(lit(5000).as("limit"), lit(1).as("cost"),
+        (lit(5000) - pmod(col("k"), lit(100))).cast("int").as("remaining"),
+        lit("2024-05-06T08:00:00Z").as("resetAt"))
+      val responses = base.select(col("k"), to_json(struct(
+        struct(repo.as("repository"), rateLimit.as("rateLimit")).as("data"))).as("json"))
+      graft.sources.GithubGraphQL.parseProjectResponses(responses, "json")
+        .select(col("k"), col("owner"), col("name"), col("is_in_organization"),
+          col("url"), col("description"), col("default_branch"),
+          col("latest_release"), col("license_spdx"),
+          size(col("topics")).cast("long").as("n_topics"),
+          col("is_archived"), col("fork_count"), col("stargazer_count"),
+          col("rl_remaining").cast("long").as("rl_remaining"))
+    }),
     // bare-repo manifest probe order okh.{toml,yaml,yml,json,ttl,rdf,jsonld}
     // (github.py:43,362-368)
     "q_manifest_probe" -> ((s, d) => {
@@ -746,6 +797,27 @@ object SparkEntry {
         |  FROM t)
         |SELECT k, owner, repo, coalesce(ref, default_branch) AS ref, default_branch
         |FROM e""".stripMargin,
+    "q_repo_enrich_graphql" ->
+      """SELECT p_partkey AS k,
+        |  'owner' || (p_partkey % 10) AS owner,
+        |  'repo' || p_partkey AS name,
+        |  (p_partkey % 2 = 0) AS is_in_organization,
+        |  'https://github.com/owner' || (p_partkey % 10) || '/repo' || p_partkey AS url,
+        |  CASE WHEN p_partkey % 5 = 0 THEN NULL
+        |       ELSE 'Repo ' || p_partkey END AS description,
+        |  CASE WHEN p_partkey % 7 = 0 THEN NULL
+        |       ELSE CASE p_partkey % 3 WHEN 0 THEN 'main' WHEN 1 THEN 'master'
+        |            ELSE 'develop' END END AS default_branch,
+        |  CASE WHEN p_partkey % 3 = 0 THEN 'v' || (p_partkey % 5) END AS latest_release,
+        |  CASE WHEN p_partkey % 4 = 3 THEN NULL
+        |       ELSE CASE p_partkey % 3 WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+        |            ELSE 'GPL-3.0-or-later' END END AS license_spdx,
+        |  CAST(p_partkey % 3 AS BIGINT) AS n_topics,
+        |  (p_partkey % 11 = 0) AS is_archived,
+        |  CAST(p_partkey % 100 AS BIGINT) AS fork_count,
+        |  CAST((p_partkey * 3) % 1000 AS BIGINT) AS stargazer_count,
+        |  CAST(5000 - p_partkey % 100 AS BIGINT) AS rl_remaining
+        |FROM part""".stripMargin,
     "q_manifest_probe" ->
       """WITH e AS (
         |  SELECT p_partkey AS k,
