@@ -478,6 +478,51 @@ object SparkEntry {
       VectorOps.annIvfOf(s, emb, s"mm-planted:$d", nQueries = 20, k = 2)
         .filter(pmod(col("qid"), lit(4)) =!= 2)
     }),
+    // image NEAR-DUP pairs: the pHash/pigeonhole image twin of
+    // q_simhash_pairs. Corpus = the 480 gradient store images (ids >= 20 —
+    // an aHash-degenerate background, massively self-colliding, which is
+    // exactly why pairs are anchored at the query ids) + 19 noise-textured
+    // query images (per-pixel hash noise → every aHash bit is an
+    // independent coin flip, pairwise Hamming ≈ 32 vs everything,
+    // spec-verified separation) + three planted clone classes per query:
+    // exact byte copy (+1e7), lossless re-encode through the REAL resize
+    // operator at identity scale (+2e7), and a +8 uniform brightness shift
+    // (+3e7 — the TRUE near-dup: every pixel differs, PSNR ≈ 30 dB, but
+    // aHash is exactly invariant because mean and block grays shift
+    // together). Full-outer join against the planted set: misses AND
+    // false positives both break the hash.
+    "q_image_neardup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dumpDir = "/tmp/graft_mm_store_500"
+      graft.fixtures.SyntheticStore.ensureOnDisk(s, dumpDir, 500L)
+      val P = graft.fixtures.PlantedFixtures
+      val background = s.read.parquet(dumpDir).select(
+        regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long")
+          .as("doc_id"),
+        col("bytes")).filter(col("doc_id") >= 20)
+      val q = P.noiseImages(s, 20)
+      val corpus = background.unionByName(q)
+        .unionByName(q.select((col("doc_id") + P.CloneExact).as("doc_id"),
+          col("bytes")))
+        .unionByName(q.select((col("doc_id") + P.CloneScaled).as("doc_id"),
+          MultimodalOps.resizeUdf(4096)(col("bytes")).as("bytes")))
+        .unionByName(q.select((col("doc_id") + P.CloneShifted).as("doc_id"),
+          P.brightnessShiftedUdf(col("bytes")).as("bytes")))
+      val planted = s.range(1L, 20L).select(col("id").as("doc_a"),
+        explode(array(
+          struct(lit("exact").as("variant"), lit(P.CloneExact).as("off")),
+          struct(lit("reencode").as("variant"), lit(P.CloneScaled).as("off")),
+          struct(lit("brightness").as("variant"), lit(P.CloneShifted).as("off"))))
+          .as("c"))
+        .select(col("doc_a"), (col("doc_a") + col("c.off")).as("doc_b"),
+          col("c.variant"))
+      MultimodalOps.imageNearDupPairsOf(s, corpus, s"img-planted:$d")
+        .filter(col("doc_a") < 20)
+        .join(planted, Seq("doc_a", "doc_b"), "full_outer")
+        .select(col("doc_a"), col("doc_b"), col("variant"),
+          when(col("hamming").isNotNull, 1L).otherwise(0L).as("detected"),
+          col("hamming").cast("long").as("hamming"))
+    }),
     // full crawl pipeline end-to-end (frontier → bloom dedup → robots →
     // politeness fetch → normalize+invariants → snapshot commits); output =
     // the deterministic fetch log, oracle-checked against the closed-form
@@ -1442,6 +1487,18 @@ object SparkEntry {
         |SELECT CAST(qid AS BIGINT), CAST(qid + 20000000 AS BIGINT),
         |       CAST(2 AS BIGINT)
         |FROM q""".stripMargin,
+    // planted image clones: every query id pairs with exactly its three
+    // clones (exact copy, lossless re-encode, uniform brightness shift),
+    // all at pHash Hamming 0
+    "q_image_neardup" ->
+      """WITH q AS (SELECT unnest(generate_series(1, 19)) AS qid),
+        |c AS (SELECT * FROM (VALUES (10000000, 'exact'),
+        |       (20000000, 'reencode'), (30000000, 'brightness'))
+        |       t(off, variant))
+        |SELECT CAST(qid AS BIGINT) AS doc_a,
+        |       CAST(qid + off AS BIGINT) AS doc_b, variant,
+        |       CAST(1 AS BIGINT) AS detected, CAST(0 AS BIGINT) AS hamming
+        |FROM q, c""".stripMargin,
     // planted near-dup corpus (PlantedFixtures.nearDupDocs): exactly the
     // even-key clone pairs are detected; exact variants pin eq = 1000
     "q_minhash_lsh" ->

@@ -45,6 +45,18 @@ object PlantedFixtures {
   /** vec_id offsets for the two embedding clones. */
   val CloneExact = 10000000L
   val CloneScaled = 20000000L
+  /** doc_id offset of the brightness-shifted image clone (+8 to every
+    * channel of every pixel — a TRUE perceptual near-dup, PSNR ≈ 30 dB,
+    * not pixel-identical).
+    */
+  val CloneShifted = 30000000L
+
+  /** Channel headroom of noise-image pixels: values are in [0, 248) so the
+    * +8 brightness shift never clamps — the shift is exactly uniform, and
+    * aHash (sign of block gray vs the image mean) is exactly invariant.
+    */
+  val NoiseChannelCap = 248
+  val BrightnessShift = 8
 
   val BaseWords = 60
   val AppendWords = 5
@@ -138,6 +150,65 @@ object PlantedFixtures {
     base.select(col("k").as("doc_id"), col("text"))
       .unionByName(clone1).unionByName(clone2)
   }
+
+  /** Noise-textured query images for the image near-dup corpus
+    * (`q_image_neardup`). The synthetic store's gradient images are
+    * aHash-DEGENERATE by construction — the sign pattern depends only on
+    * the gradient direction (~16 classes), so store images collide at
+    * Hamming 0 en masse and no closed-form pair oracle can be built over
+    * them. Per-pixel hash noise is the image analogue of the disjoint-
+    * vocabulary rule above: every aHash bit is an independent coin flip
+    * per doc_id, so distinct noise images sit at pairwise Hamming ≈ 32
+    * (P[≤ 3] ≈ 7e-15 per pair), and noise-vs-gradient distances are just
+    * as far — deterministic content, so the separation is verified once
+    * in the spec and stable forever. Channels stay under
+    * `NoiseChannelCap` so the `CloneShifted` brightness shift never
+    * clamps (see `brightnessShifted`).
+    */
+  def noiseImagePixels(id: Long, w: Int = 32, h: Int = 32): Array[Int] = {
+    val out = new Array[Int](w * h)
+    var i = 0
+    while (i < out.length) {
+      val m = SyntheticStore.mix64(id * 1000003L + i)
+      val r = Math.floorMod(m, NoiseChannelCap.toLong).toInt
+      val g = Math.floorMod(m >>> 20, NoiseChannelCap.toLong).toInt
+      val b = Math.floorMod(m >>> 40, NoiseChannelCap.toLong).toInt
+      out(i) = (r << 16) | (g << 8) | b
+      i += 1
+    }
+    out
+  }
+
+  /** (doc_id, bytes) noise images for ids 1 until n — lossless PNG, so
+    * decoded pixels are exactly `noiseImagePixels(id)`.
+    */
+  def noiseImages(spark: SparkSession, n: Int): DataFrame = {
+    val pngUdf = udf { id: Long =>
+      graft.functions.ImageFunctions.encode(noiseImagePixels(id), 32, 32, "png")
+    }
+    spark.range(1L, n.toLong).select(col("id").as("doc_id"),
+      pngUdf(col("id")).as("bytes"))
+  }
+
+  /** The brightness-shifted near-dup clone: decode, +`BrightnessShift` to
+    * every channel of every pixel, lossless re-encode. Clamp-free by the
+    * `NoiseChannelCap` construction, so the shift is exactly uniform:
+    * every aHash block gray AND the image mean move by exactly the same
+    * amount and the sign bits are unchanged — Hamming 0 against the base,
+    * while the pixels differ everywhere (PSNR ≈ 30 dB).
+    */
+  def brightnessShifted(bytes: Array[Byte]): Array[Byte] = {
+    val img = graft.functions.ImageFunctions.decode(bytes).get
+    val px = graft.functions.ImageFunctions.pixelsOf(img).map { p =>
+      val r = ((p >> 16) & 0xFF) + BrightnessShift
+      val g = ((p >> 8) & 0xFF) + BrightnessShift
+      val b = (p & 0xFF) + BrightnessShift
+      require(r <= 255 && g <= 255 && b <= 255, "shift clamped — corpus bug")
+      (r << 16) | (g << 8) | b
+    }
+    graft.functions.ImageFunctions.encode(px, img.getWidth, img.getHeight, "png")
+  }
+  val brightnessShiftedUdf = udf(brightnessShifted _)
 
   /** Embeddings ∪ planted neighbors for the first `nQueries` vectors:
     * the exact copy and the ×2.0f copy (see object doc for why both are

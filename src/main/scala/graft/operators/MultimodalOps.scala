@@ -119,4 +119,29 @@ object MultimodalOps {
       .withColumn("thumbnail", resizeUdf(thumbMaxDim)(col("bytes")))
       .withColumn("embedding", imageEmbeddingUdf(col("bytes")))
       .select(col("image_id"), col("meta.*"), col("thumbnail"), col("embedding"))
+
+  /** Image near-duplicate pairs: the image twin of
+    * `TextOps.simhashPairsOf`. Each payload decodes to a 64-bit perceptual
+    * hash (`ImageFunctions.aHash64` over the decoded pixels — the same C26
+    * pHash the store invariants pin), and candidates come from the shared
+    * 4×16-bit pigeonhole block join (`TextOps.hammingBlockPairs`): bucket
+    * equi-joins only, the pair space never materializes, so the shape
+    * survives a 100× corpus the same way SimHash does. aHash is invariant
+    * under any uniform (clamp-free) brightness shift — the mean shifts
+    * with every block — and under lossless re-encode/container change, so
+    * those three near-dup classes land at Hamming 0 exactly.
+    *
+    * `imagesDf` must carry (`doc_id`: Long, `bytes`: binary); undecodable
+    * payloads are dropped (null hash). The decode is the expensive scan
+    * (UDF-bounded, partition-parallel); the signature is PlanCache-memoized
+    * per (session, cacheKey) like the SimHash/LSH signature caches.
+    */
+  def imageNearDupPairsOf(spark: SparkSession, imagesDf: DataFrame,
+      cacheKey: String, maxHamming: Int = 3): DataFrame = {
+    val sig = graft.PlanCache.cached(spark, s"img-phash:$cacheKey")(
+      imagesDf.select(col("doc_id"),
+        ImageFunctions.phash64(col("bytes")).as("phash"))
+        .filter(col("phash").isNotNull))
+    graft.operators.TextOps.hammingBlockPairs(sig, "phash", maxHamming)
+  }
 }

@@ -451,17 +451,35 @@ object TextOps {
       maxHamming: Int = 3): DataFrame = {
     val sig = graft.PlanCache.cached(spark, s"simhash-sig:$cacheKey")(
       simhashOf(docsDf))
+    hammingBlockPairs(sig, "simhash", maxHamming)
+  }
+
+  /** Pigeonhole-block Hamming pair join over 64-bit signatures — the shared
+    * candidate machinery behind SimHash text near-dup AND perceptual-hash
+    * image near-dup (`MultimodalOps.imageNearDupPairsOf`). The signature is
+    * split into four 16-bit blocks; any two signatures within Hamming ≤ 3
+    * must agree on at least one whole block (pigeonhole), so candidates
+    * come from four equi-joins on (block, key) and the pair space never
+    * materializes. One shuffle family: hash joins keyed on (block, key).
+    *
+    * `sig` must carry (`doc_id`, `hashCol`: Long). Output: (doc_a, doc_b,
+    * hamming) with doc_a < doc_b and hamming ≤ maxHamming.
+    */
+  def hammingBlockPairs(sig: DataFrame, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-block pigeonhole guarantees recall only for Hamming <= 3, got $maxHamming")
     val blocks = (0 until 4).map { b =>
       struct(lit(b).as("block"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
+        shiftright(col(hashCol), b * 16).bitwiseAND(0xFFFFL).as("key"))
     }
-    val keyed = sig.select(col("doc_id"), col("simhash"),
+    val keyed = sig.select(col("doc_id"), col(hashCol).as("h"),
       explode(array(blocks: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.block").as("block"), col("bk.key").as("key"))
+      .select(col("doc_id"), col("h"), col("bk.block").as("block"), col("bk.key").as("key"))
     val cand = keyed.as("x").join(keyed.as("y"), Seq("block", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("ha"),
-        col("y.doc_id").as("doc_b"), col("y.simhash").as("hb"))
+      .select(col("x.doc_id").as("doc_a"), col("x.h").as("ha"),
+        col("y.doc_id").as("doc_b"), col("y.h").as("hb"))
       .distinct()
     cand.withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)

@@ -79,7 +79,8 @@ class PlanSpec extends SparkTestBase {
     // the LSH family over the planted corpora must keep the same scale
     // shape as the path-based operators: candidates come from band/block
     // bucket joins, so the only join strategies are hash joins on keys
-    for (q <- Seq("q_minhash_lsh", "q_simhash_pairs", "q_ann_lsh", "q_ann_ivf")) {
+    for (q <- Seq("q_minhash_lsh", "q_simhash_pairs", "q_ann_lsh", "q_ann_ivf",
+        "q_multimodal_ann", "q_image_neardup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
         s"$q: pair space materialized:\n${p.take(2000)}")

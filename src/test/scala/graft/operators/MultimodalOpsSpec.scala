@@ -63,6 +63,80 @@ class MultimodalOpsSpec extends SparkTestBase {
     }
   }
 
+  test("brightness-shifted clone: every pixel differs (PSNR ~30 dB) but " +
+      "aHash is exactly invariant — the q_image_neardup TRUE-near-dup class") {
+    val P = graft.fixtures.PlantedFixtures
+    for (id <- 1L to 19L) {
+      val base = P.noiseImages(spark, 20).filter(col("doc_id") === id)
+        .select("bytes").as[Array[Byte]].head()
+      val shifted = P.brightnessShifted(base)
+      assert(!java.util.Arrays.equals(base, shifted))
+      val a = ImageFunctions.decode(base).get
+      val b = ImageFunctions.decode(shifted).get
+      val psnr = ImageFunctions.psnr(ImageFunctions.pixelsOf(a), ImageFunctions.pixelsOf(b))
+      assert(psnr > 25 && psnr < 35, s"id=$id: not a perceptual near-dup (psnr=$psnr)")
+      assert(ImageFunctions.phashOfBytes(base).get ==
+        ImageFunctions.phashOfBytes(shifted).get,
+        s"id=$id: uniform shift flipped an aHash bit")
+    }
+  }
+
+  test("q_image_neardup corpus separation: among pairs anchored at a query " +
+      "id, ONLY the 57 planted clone pairs are within Hamming <= 3 — the " +
+      "deterministic property the closed-form oracle rests on") {
+    val P = graft.fixtures.PlantedFixtures
+    // the exact gate corpus, driver-side: store rows are pure functions of
+    // id, so row(id) reproduces the /tmp dump bit-for-bit
+    val background = (20L to 500L).map(id =>
+      id -> SyntheticStore.row(id).phash)
+    val noise = (1L to 19L).map { id =>
+      val b = ImageFunctions.encode(P.noiseImagePixels(id), 32, 32, "png")
+      (id, b, ImageFunctions.phashOfBytes(b).get)
+    }
+    val clones = noise.flatMap { case (id, b, _) =>
+      Seq(
+        (id + P.CloneExact, ImageFunctions.phashOfBytes(b).get),
+        (id + P.CloneScaled,
+          ImageFunctions.phashOfBytes(MultimodalOps.resizeImage(b, 4096).get).get),
+        (id + P.CloneShifted,
+          ImageFunctions.phashOfBytes(P.brightnessShifted(b)).get))
+    }
+    val all = (background ++ noise.map(n => (n._1, n._3)) ++ clones).toVector
+    assert(all.size == 481 + 19 + 57)
+    val within = for {
+      (qid, qh) <- all if qid < 20
+      (oid, oh) <- all if oid > qid
+      if ImageFunctions.hamming(qh, oh) <= 3
+    } yield (qid, oid)
+    val planted = for {
+      q <- 1L to 19L
+      off <- Seq(P.CloneExact, P.CloneScaled, P.CloneShifted)
+    } yield (q, q + off)
+    assert(within.toSet == planted.toSet,
+      s"separation violated: ${(within.toSet -- planted.toSet).take(5)} extra, " +
+        s"${(planted.toSet -- within.toSet).take(5)} missing")
+  }
+
+  test("imageNearDupPairsOf end-to-end: exactly the planted clone pairs, " +
+      "all at Hamming 0, over a mixed noise + gradient corpus") {
+    val P = graft.fixtures.PlantedFixtures
+    val q = P.noiseImages(spark, 20)
+    val background = store.select(
+      (regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long") + 100L)
+        .as("doc_id"),
+      col("bytes"))
+    val corpus = background.unionByName(q)
+      .unionByName(q.select((col("doc_id") + P.CloneExact).as("doc_id"), col("bytes")))
+      .unionByName(q.select((col("doc_id") + P.CloneShifted).as("doc_id"),
+        P.brightnessShiftedUdf(col("bytes")).as("bytes")))
+    val pairs = MultimodalOps.imageNearDupPairsOf(spark, corpus, "spec-img")
+      .filter(col("doc_a") < 20).collect()
+    val expected = (1L to 19L).flatMap(id =>
+      Seq((id, id + P.CloneExact, 0), (id, id + P.CloneShifted, 0))).toSet
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+      expected)
+  }
+
   test("audio/video stubs: deterministic typed metadata with real schema") {
     val withAudio = store.limit(10)
       .withColumn("audio_meta", MultimodalOps.audioMetaUdf(col("bytes")))

@@ -124,6 +124,31 @@ class TextOpsSpec extends SparkTestBase {
     assert(Seq(100L, 101L, 102L).forall(m(_) == 100L))
   }
 
+  test("hammingBlockPairs: pigeonhole recall is EXACT for Hamming <= 3; " +
+      "Hamming 4 never emitted; > 3 maxHamming rejected") {
+    // hand-built 64-bit signatures with known pairwise distances:
+    //  10 -> base, 11 -> identical (d=0), 12 -> 3 bits in one block (d=3),
+    //  13 -> 3 bits across three blocks (d=3, shares only block 3),
+    //  14 -> one bit in EVERY block (d=4: no shared block AND over limit)
+    val base = 0x0123456789ABCDEFL
+    val sigs = Seq(
+      (10L, base), (11L, base),
+      (12L, base ^ 0x7L),
+      (13L, base ^ ((1L << 0) | (1L << 16) | (1L << 32))),
+      (14L, base ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)))
+    ).toDF("doc_id", "h")
+    val got = TextOps.hammingBlockPairs(sigs, "h", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // d(12,13) = 4 (bits {1,2,16,32}) — correctly excluded even though the
+    // two share block-0 membership history; d(13,14) = 1 (bit 48 only)
+    assert(got == Set((10L, 11L, 0), (10L, 12L, 3), (10L, 13L, 3),
+      (11L, 12L, 3), (11L, 13L, 3), (13L, 14L, 1)),
+      s"unexpected pair set: $got")
+    intercept[IllegalArgumentException] {
+      TextOps.hammingBlockPairs(sigs, "h", maxHamming = 4)
+    }
+  }
+
   test("langId picks the marker language deterministically") {
     val dir = Files.createTempDirectory("graft-lang").toString
     Seq(
