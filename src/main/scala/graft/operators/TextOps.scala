@@ -276,15 +276,33 @@ object TextOps {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
+  /** Per-round lineage truncation for the iterative operators.
+    * `reliable = false` (default) uses `localCheckpoint`: executor-local
+    * block storage — cheapest, but state is LOST if an executor dies
+    * mid-computation, so a long run restarts from scratch on a real
+    * cluster. `reliable = true` uses a REAL checkpoint to the session's
+    * configured checkpoint dir (a cluster-visible path — HDFS/object
+    * store — set via `SparkContext.setCheckpointDir`), which survives
+    * executor loss at the cost of a write+read per round; the right
+    * setting for deep graphs on shared clusters.
+    */
+  private def chk(df: DataFrame, reliable: Boolean): DataFrame =
+    if (!reliable) df.localCheckpoint(true)
+    else {
+      require(df.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
+        "reliable=true requires SparkContext.setCheckpointDir to a " +
+          "cluster-visible path that survives executor loss")
+      df.checkpoint(eager = true)
+    }
+
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      reliable: Boolean = false): DataFrame = {
+    val edges = chk(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .distinct(), reliable)
+    var labels = chk(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")), reliable)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -296,10 +314,10 @@ object TextOps {
       // min-label groupBy as max(label where is_self) — no second
       // join-against-old-labels job per round; the convergence count is a
       // shuffle-free scan of the already-materialized checkpoint
-      val next = labels.withColumn("is_self", lit(1)).unionByName(viaNeighbors)
+      val next = chk(labels.withColumn("is_self", lit(1)).unionByName(viaNeighbors)
         .groupBy("id").agg(min("label").as("label"),
-          max(when(col("is_self") === 1, col("label"))).as("old"))
-        .localCheckpoint(true) // eager: next is fully materialized here
+          max(when(col("is_self") === 1, col("label"))).as("old")),
+        reliable) // eager: next is fully materialized here
       val changed = next.filter(col("label") =!= col("old")).count()
       // next no longer depends on the previous round (lineage truncated at
       // its checkpoint) and `changed` has been computed — safe to free
@@ -340,23 +358,22 @@ object TextOps {
     * and superseded round blocks are freed eagerly.
     */
   def connectedComponentsAlternating(pairs: DataFrame,
-      maxIter: Int = 30): DataFrame =
-    connectedComponentsAlternatingWithRounds(pairs, maxIter)._1
+      maxIter: Int = 30, reliable: Boolean = false): DataFrame =
+    connectedComponentsAlternatingWithRounds(pairs, maxIter, reliable)._1
 
   /** `connectedComponentsAlternating` plus the number of rounds executed
     * (a round = one large-star + one small-star) — the spec seam pinning
     * the O(log² n) convergence claim on planted deep chains.
     */
   def connectedComponentsAlternatingWithRounds(pairs: DataFrame,
-      maxIter: Int = 30): (DataFrame, Int) = {
+      maxIter: Int = 30, reliable: Boolean = false): (DataFrame, Int) = {
     // canonical orientation: (hi, lo) with hi > lo — an edge set AND, at
     // the fixpoint, the child→parent star map
-    var e = pairs
+    var e = chk(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
         least(col("doc_a"), col("doc_b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct(), reliable)
 
     def largeStar(edges: DataFrame): DataFrame = {
       val bidir = edges.select(col("hi").as("u"), col("lo").as("v"))
@@ -389,8 +406,8 @@ object TextOps {
     var converged = prev._1 == 0L // no edges → trivially a (empty) star forest
     var iter = 0
     while (!converged && iter < maxIter) {
-      val e1 = largeStar(e).localCheckpoint(true)
-      val e2 = smallStar(e1).localCheckpoint(true)
+      val e1 = chk(largeStar(e), reliable)
+      val e2 = chk(smallStar(e1), reliable)
       checkpointBlocks(e).foreach(_.unpersist(false))
       checkpointBlocks(e1).foreach(_.unpersist(false))
       e = e2

@@ -124,6 +124,36 @@ class TextOpsSpec extends SparkTestBase {
     assert(Seq(100L, 101L, 102L).forall(m(_) == 100L))
   }
 
+  test("reliable checkpointing: both CC variants produce identical labels " +
+      "with cluster-durable per-round state; unset checkpoint dir rejected") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 23L)).toDF("doc_a", "doc_b")
+    val sc = spark.sparkContext
+    val prevDir = sc.getCheckpointDir
+    if (prevDir.isEmpty) {
+      // not configured → loud failure, not a silent local fallback
+      intercept[IllegalArgumentException] {
+        TextOps.connectedComponents(pairs, reliable = true)
+      }
+    }
+    val dir = Files.createTempDirectory("graft-cc-chk").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val local = TextOps.connectedComponents(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val durable = TextOps.connectedComponents(pairs, reliable = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(durable == local)
+      val (alt, _) = TextOps.connectedComponentsAlternatingWithRounds(
+        pairs, reliable = true)
+      assert(alt.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == local)
+      // the durable rounds actually hit the checkpoint dir
+      val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(written > 0, "reliable mode wrote nothing to the checkpoint dir")
+    } finally prevDir.foreach(sc.setCheckpointDir)
+  }
+
   test("hammingBlockPairs: pigeonhole recall is EXACT for Hamming <= 3; " +
       "Hamming 4 never emitted; > 3 maxHamming rejected") {
     // hand-built 64-bit signatures with known pairwise distances:
