@@ -523,6 +523,43 @@ object SparkEntry {
           when(col("hamming").isNotNull, 1L).otherwise(0L).as("detected"),
           col("hamming").cast("long").as("hamming"))
     }),
+    // image dedup CLUSTERING e2e: the q_image_neardup corpus (background
+    // included as distractors) through pairs → connected components →
+    // groups. Each planted component is {qid, +1e7, +2e7, +3e7} with
+    // canonical qid; the aHash-degenerate background forms its own
+    // clusters, which the closed form excludes by canonical id — the
+    // separation spec guarantees no background node can ever attach to a
+    // planted component, so a background id appearing under a canonical
+    // < 20 (or a planted member missing) is a hash mismatch.
+    "q_image_dedup_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dumpDir = "/tmp/graft_mm_store_500"
+      graft.fixtures.SyntheticStore.ensureOnDisk(s, dumpDir, 500L)
+      val P = graft.fixtures.PlantedFixtures
+      val background = s.read.parquet(dumpDir).select(
+        regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long")
+          .as("doc_id"),
+        col("bytes")).filter(col("doc_id") >= 20)
+      val q = P.noiseImages(s, 20)
+      val corpus = background.unionByName(q)
+        .unionByName(q.select((col("doc_id") + P.CloneExact).as("doc_id"),
+          col("bytes")))
+        .unionByName(q.select((col("doc_id") + P.CloneScaled).as("doc_id"),
+          MultimodalOps.resizeUdf(4096)(col("bytes")).as("bytes")))
+        .unionByName(q.select((col("doc_id") + P.CloneShifted).as("doc_id"),
+          P.brightnessShiftedUdf(col("bytes")).as("bytes")))
+      MultimodalOps.imageDedupClusters(s, corpus, s"img-planted:$d")
+        .filter(col("canonical_doc_id") < 20)
+    }),
+    // vision-training prep scan: ViT patch counts, quarter-step aspect
+    // buckets, extreme-aspect/min-dim keep gate — REAL decode for the
+    // dimensions, integer arithmetic for everything derived, so the
+    // oracle is closed-form over the dumped store's stored (w, h)
+    "q_vision_prep" -> ((s, d) => {
+      val dumpDir = "/tmp/graft_mm_store_500"
+      graft.fixtures.SyntheticStore.ensureOnDisk(s, dumpDir, 500L)
+      MultimodalOps.visionPrep(s, s.read.parquet(dumpDir))
+    }),
     // full crawl pipeline end-to-end (frontier → bloom dedup → robots →
     // politeness fetch → normalize+invariants → snapshot commits); output =
     // the deterministic fetch log, oracle-checked against the closed-form
@@ -1499,6 +1536,23 @@ object SparkEntry {
         |       CAST(qid + off AS BIGINT) AS doc_b, variant,
         |       CAST(1 AS BIGINT) AS detected, CAST(0 AS BIGINT) AS hamming
         |FROM q, c""".stripMargin,
+    // planted image components: {qid, +1e7, +2e7, +3e7}, canonical qid
+    "q_image_dedup_clusters" ->
+      """WITH q AS (SELECT unnest(generate_series(1, 19)) AS qid),
+        |o AS (SELECT * FROM (VALUES (0), (10000000), (20000000),
+        |       (30000000)) t(off))
+        |SELECT CAST(qid + off AS BIGINT) AS doc_id,
+        |       CAST(qid AS BIGINT) AS canonical_doc_id
+        |FROM q, o""".stripMargin,
+    // integer-arithmetic twin over the dumped store's stored dimensions
+    // (decode-extracted w/h ≡ stored w/h is already pinned by
+    // q_multimodal_featurize)
+    "q_vision_prep" ->
+      """SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(((w + 13) // 14) * ((h + 13) // 14) AS BIGINT) AS n_patches,
+        |  CAST((8 * w + h) // (2 * h) AS BIGINT) AS aspect_q4,
+        |  (LEAST(w, h) >= 16 AND w <= 2 * h AND h <= 2 * w) AS keep
+        |FROM read_parquet('/tmp/graft_mm_store_500/*.parquet')""".stripMargin,
     // planted near-dup corpus (PlantedFixtures.nearDupDocs): exactly the
     // even-key clone pairs are detected; exact variants pin eq = 1000
     "q_minhash_lsh" ->

@@ -144,4 +144,46 @@ object MultimodalOps {
         .filter(col("phash").isNotNull))
     graft.operators.TextOps.hammingBlockPairs(sig, "phash", maxHamming)
   }
+
+  /** Image dedup CLUSTERING: near-dup pairs → connected components →
+    * (doc_id, canonical = min id of its group) — the image face of the
+    * pairs→groups path `q_dedup_clusters` pins for text. Same scale
+    * posture: the pair set is pigeonhole-bounded and each CC round is one
+    * join+agg on doc_id.
+    */
+  def imageDedupClusters(spark: SparkSession, imagesDf: DataFrame,
+      cacheKey: String, maxHamming: Int = 3): DataFrame =
+    graft.operators.TextOps.connectedComponents(
+      imageNearDupPairsOf(spark, imagesDf, cacheKey, maxHamming)
+        .select(col("doc_a"), col("doc_b")))
+
+  /** Vision-training preprocessing columns over an image store — the
+    * batch-shaping scan a VLM data pipeline runs before packing:
+    *  - `n_patches`: ViT patch count, ceil(w/p) × ceil(h/p) — the token
+    *    budget an image consumes in a patch-based encoder;
+    *  - `aspect_q4`: aspect ratio quantized to quarter steps
+    *    (round(4·w/h), integer arithmetic) — the bucketing key that lets
+    *    same-shape images batch together without padding waste;
+    *  - `keep`: the quality gate — both dimensions ≥ `minDim` and aspect
+    *    within 2:1 either way (the standard extreme-aspect filter).
+    * Dimensions come from the REAL decode (not trusted metadata); all
+    * derived columns are integer arithmetic, so the expectation is
+    * closed-form over the stored dimensions. One UDF-bounded decode scan,
+    * shuffle-free.
+    */
+  def visionPrep(spark: SparkSession, storeDf: DataFrame, patchPx: Int = 14,
+      minDim: Int = 16): DataFrame =
+    storeDf
+      .withColumn("meta", imageMetaUdf(col("bytes")))
+      .select(col("image_id"),
+        col("meta.w").cast("long").as("w"), col("meta.h").cast("long").as("h"))
+      .select(col("image_id"), col("w"), col("h"),
+        (floor((col("w") + lit(patchPx - 1)) / lit(patchPx)) *
+          floor((col("h") + lit(patchPx - 1)) / lit(patchPx)))
+          .cast("long").as("n_patches"),
+        floor((lit(8) * col("w") + col("h")) / (lit(2) * col("h")))
+          .cast("long").as("aspect_q4"),
+        (least(col("w"), col("h")) >= minDim &&
+          col("w") <= lit(2) * col("h") && col("h") <= lit(2) * col("w"))
+          .as("keep"))
 }

@@ -66,8 +66,8 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Sort [unit_path"), "dedup must not globally sort")
   }
 
-  test("q_token_count/q_quality: single scan, codegen'd projections, no shuffle") {
-    for (q <- Seq("q_token_count", "q_quality")) {
+  test("q_token_count/q_quality/q_vision_prep: single scan, codegen'd projections, no shuffle") {
+    for (q <- Seq("q_token_count", "q_quality", "q_vision_prep")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q should be shuffle-free:\n$p")
       assert(p.contains("WholeStageCodegen") || p.contains("*("), s"$q lost codegen")

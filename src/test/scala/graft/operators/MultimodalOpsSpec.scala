@@ -137,6 +137,25 @@ class MultimodalOpsSpec extends SparkTestBase {
       expected)
   }
 
+  test("visionPrep: ViT patch counts, quarter-step aspect buckets, keep " +
+      "gate — integer arithmetic against the stored dimensions") {
+    val stored = store.select("image_id", "w", "h").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val rows = MultimodalOps.visionPrep(spark, store).collect()
+    assert(rows.length == stored.size)
+    rows.foreach { r =>
+      val (w, h) = stored(r.getString(0))
+      assert(r.getLong(1) == w && r.getLong(2) == h, "decode dims diverge")
+      assert(r.getLong(3) == ((w + 13) / 14).toLong * ((h + 13) / 14),
+        s"n_patches wrong for ${w}x$h")
+      assert(r.getLong(4) == (8L * w + h) / (2L * h), s"aspect_q4 wrong for ${w}x$h")
+      assert(r.getBoolean(5) ==
+        (math.min(w, h) >= 16 && w <= 2 * h && h <= 2 * w))
+    }
+    // the gate fires both ways on this store (8..64 px dims)
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+  }
+
   test("audio/video stubs: deterministic typed metadata with real schema") {
     val withAudio = store.limit(10)
       .withColumn("audio_meta", MultimodalOps.audioMetaUdf(col("bytes")))
