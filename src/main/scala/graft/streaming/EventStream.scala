@@ -52,6 +52,47 @@ object EventStream {
       }
   }
 
+  /** Streaming IMAGE-ingest dedup — the multimodal family's incremental
+    * form: first-wins per 64-bit perceptual hash across all micro-batches
+    * (state = one boolean per seen pHash, sharded by hash key). Because
+    * pixel-preserving transforms — exact copy, lossless re-encode,
+    * container change, uniform brightness shift — all map to the SAME
+    * aHash (the `q_image_neardup` clone classes), this one exact-hash
+    * state drops every such duplicate as it arrives, without the batch
+    * pigeonhole join. Hash the payloads UPSTREAM (`withImagePhash`):
+    * state and shuffles then carry (id, hash, seq) rows, never bytes.
+    */
+  final case class ImageArrival(image_id: String, phash: Long, seq: Long)
+
+  /** Decode → pHash projection for an incoming image stream: the only
+    * bytes-touching step, so everything stateful downstream is 24 bytes a
+    * row.
+    */
+  def withImagePhash(images: DataFrame): Dataset[ImageArrival] = {
+    import images.sparkSession.implicits._
+    images
+      .select(col("image_id"),
+        graft.functions.ImageFunctions.phash64(col("bytes")).as("phash"),
+        col("seq"))
+      .filter(col("phash").isNotNull)
+      .as[ImageArrival]
+  }
+
+  def streamingImageDedup(images: Dataset[ImageArrival]): Dataset[ImageArrival] = {
+    import images.sparkSession.implicits._
+    images
+      .groupByKey(_.phash)
+      .flatMapGroupsWithState[Boolean, ImageArrival](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // pHash emitted in a prior batch
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_.seq)) // first-wins within the batch
+          }
+      }
+  }
+
   /** Incremental frontier ingestion: streaming discovery → stateful
     * URL-seen dedup → snapshot-store commits per micro-batch (foreachBatch
     * = the streaming twin of `CrawlPipeline.run`'s slice loop; the store's

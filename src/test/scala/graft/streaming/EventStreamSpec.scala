@@ -291,6 +291,62 @@ class EventStreamSpec extends SparkTestBase {
       EventStream.PacerState(Long.MinValue, 0L), minIntervalMs = 1000L)
     assert(noBudget.map(_.scheduled_ms) == Seq(0L, 1000L, 2000L, 3000L, 4000L))
   }
+
+  test("streaming image dedup: clone classes collapse to one emission per " +
+      "pHash across micro-batches; equals the batch first-wins twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val P = graft.fixtures.PlantedFixtures
+    import graft.functions.ImageFunctions
+    // three distinct noise images; per image: base + exact copy +
+    // re-encode + brightness shift (all pHash-equal by construction)
+    def arrivals(id: Long, seqBase: Long): Seq[EventStream.ImageArrival] = {
+      val base = ImageFunctions.encode(P.noiseImagePixels(id), 32, 32, "png")
+      val variants = Seq(
+        base,
+        base.clone(),
+        graft.operators.MultimodalOps.resizeImage(base, 4096).get,
+        P.brightnessShifted(base))
+      variants.zipWithIndex.map { case (b, i) =>
+        EventStream.ImageArrival(s"img:$id/v$i",
+          ImageFunctions.phashOfBytes(b).get, seqBase + i)
+      }
+    }
+    val batch1 = arrivals(1L, 10L) ++ arrivals(2L, 20L).take(2)
+    val batch2 = arrivals(2L, 24L).drop(2) ++ arrivals(3L, 30L) ++
+      arrivals(1L, 90L) // image 1 re-arrives later: must NOT re-emit
+    val input = MemoryStream[EventStream.ImageArrival]
+    val q = EventStream.streamingImageDedup(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("img_dedup_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-img").toString)
+      .start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    val got = spark.table("img_dedup_out").as[EventStream.ImageArrival]
+      .collect().map(a => a.phash -> a.seq).toMap
+    q.stop()
+    // the batch twin over the union (first-wins by seq per phash)
+    val all = batch1 ++ batch2
+    val expected = all.groupBy(_.phash).map { case (ph, as) =>
+      ph -> as.map(_.seq).min
+    }
+    assert(got == expected, s"streaming != batch first-wins: $got vs $expected")
+    assert(got.size == 3, "clone classes must collapse to one row per image")
+  }
+
+  test("withImagePhash: bytes leave the plan at the projection; undecodable " +
+      "payloads dropped") {
+    val P = graft.fixtures.PlantedFixtures
+    val rows = Seq(
+      ("a", graft.functions.ImageFunctions.encode(
+        P.noiseImagePixels(7L), 32, 32, "png"), 1L),
+      ("bad", Array[Byte](1, 2, 3), 2L)).toDF("image_id", "bytes", "seq")
+    val out = EventStream.withImagePhash(rows).collect()
+    assert(out.length == 1 && out(0).image_id == "a")
+  }
 }
 
 object EventStreamSpec {
