@@ -560,6 +560,29 @@ object SparkEntry {
       graft.fixtures.SyntheticStore.ensureOnDisk(s, dumpDir, 500L)
       MultimodalOps.visionPrep(s, s.read.parquet(dumpDir))
     }),
+    // the CAPTION side of the image+caption pair through the REAL
+    // normalize pipeline (C6 strip_html ∘ C8 fix_encoding — the S10 sink's
+    // own caption path) + quality columns. Closed-form because the store's
+    // caption family is constrained by construction (id%10==3 simple
+    // tags, id%10==7 cp1252 mojibake, else clean): the DuckDB oracle
+    // applies the per-residue repair directly and must agree with the
+    // general-purpose operators byte-for-byte.
+    "q_caption_quality" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dumpDir = "/tmp/graft_mm_store_500"
+      graft.fixtures.SyntheticStore.ensureOnDisk(s, dumpDir, 500L)
+      val nChars = length(col("caption_clean")).cast("long")
+      val alpha = length(regexp_replace(col("caption_clean"), "[^A-Za-z]", ""))
+        .cast("long")
+      s.read.parquet(dumpDir)
+        .select(col("image_id"),
+          trim(graft.functions.TextNormalize.normalizeCaptionUdf(col("caption")))
+            .as("caption_clean"))
+        .select(col("image_id"), col("caption_clean"),
+          nChars.as("n_chars"),
+          size(split(col("caption_clean"), "\\s+")).cast("long").as("n_tokens"),
+          floor(alpha * lit(1000.0) / nChars).cast("long").as("alpha_permille"))
+    }),
     // full crawl pipeline end-to-end (frontier → bloom dedup → robots →
     // politeness fetch → normalize+invariants → snapshot commits); output =
     // the deterministic fetch log, oracle-checked against the closed-form
@@ -1544,6 +1567,28 @@ object SparkEntry {
         |SELECT CAST(qid + off AS BIGINT) AS doc_id,
         |       CAST(qid AS BIGINT) AS canonical_doc_id
         |FROM q, o""".stripMargin,
+    // per-residue caption repair (the constrained family the synthetic
+    // captions come from) + the same quality arithmetic
+    "q_caption_quality" ->
+      """WITH c AS (
+        |  SELECT image_id,
+        |    CAST(regexp_extract(image_id, '^thing:(\d+)/', 1) AS BIGINT) AS id,
+        |    caption
+        |  FROM read_parquet('/tmp/graft_mm_store_500/*.parquet')),
+        |n AS (
+        |  SELECT image_id,
+        |    TRIM(CASE
+        |      WHEN id % 10 = 3 THEN regexp_replace(caption, '<[^>]*>', '', 'g')
+        |      WHEN id % 10 = 7 THEN replace(caption, 'â€”', '—')
+        |      ELSE caption END) AS caption_clean
+        |  FROM c)
+        |SELECT image_id, caption_clean,
+        |  CAST(length(caption_clean) AS BIGINT) AS n_chars,
+        |  CAST(length(regexp_split_to_array(caption_clean, '\s+')) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(FLOOR(length(regexp_replace(caption_clean, '[^A-Za-z]', '', 'g'))
+        |    * 1000.0 / length(caption_clean)) AS BIGINT) AS alpha_permille
+        |FROM n""".stripMargin,
     // integer-arithmetic twin over the dumped store's stored dimensions
     // (decode-extracted w/h ≡ stored w/h is already pinned by
     // q_multimodal_featurize)
