@@ -295,6 +295,15 @@ object SparkEntry {
         graft.fixtures.PlantedFixtures.plantedEmbeddings(s, d))
       VectorOps.annIvfOf(s, emb, s"planted:$d", nQueries = 20, k = 2)
     }),
+    // the Lloyd-TRAINED coarse quantizer through the same probe + re-rank
+    // path: cosine assignment is scale-invariant for ANY centroid set, so
+    // the planted exact/×2 clones share their query's list and the
+    // identical ranks-1/2 closed form oracles the trained path too
+    "q_ann_ivf_trained" -> ((s, d) => {
+      val emb = graft.PlanCache.memo(s, s"planted-emb:$d")(
+        graft.fixtures.PlantedFixtures.plantedEmbeddings(s, d))
+      VectorOps.annIvfTrainedOf(s, emb, s"planted:$d", nQueries = 20, k = 2)
+    }),
     // the synthetic embeddings carry no true duplicates (max in-block cosine
     // ≈0.47), so the query runs the operator at a 0.3 threshold to exercise
     // the pair-emitting path with oracle-checked rows
@@ -1642,6 +1651,16 @@ object SparkEntry {
         |       CAST(2 AS BIGINT) AS rank
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
     "q_ann_ivf" ->
+      """SELECT vec_id AS qid, vec_id + 10000000 AS neighbor_id,
+        |       CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 20
+        |UNION ALL
+        |SELECT vec_id AS qid, vec_id + 20000000 AS neighbor_id,
+        |       CAST(2 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+    // identical closed form: the clone ranks are a property of cosine
+    // scale-invariance, not of which quantizer built the lists
+    "q_ann_ivf_trained" ->
       """SELECT vec_id AS qid, vec_id + 10000000 AS neighbor_id,
         |       CAST(1 AS BIGINT) AS rank
         |FROM embeddings WHERE vec_id < 20

@@ -137,7 +137,7 @@ object VectorOps {
     annIvfOf(spark, spark.read.parquet(s"$sfDir/embeddings.parquet"),
       s"dir:$sfDir", nQueries, k, nCentroids, nProbe)
 
-  private final case class Anchor(j: Int, v: Array[Double], nrm: Double)
+  private[operators] final case class Anchor(j: Int, v: Array[Double], nrm: Double)
 
   /** Deterministic anchor rows standing in for an offline-trained coarse
     * quantizer (tiny: nCentroids × dim doubles, inlined as literals).
@@ -188,6 +188,79 @@ object VectorOps {
       nCentroids: Int, anchorBase: Long = 100L): DataFrame =
     ivfListsOf(embDf, ivfAnchors(embDf, nCentroids, anchorBase))
 
+  /** Test seam: list assignment under a TRAINED quantizer. */
+  def annIvfTrainedListsForTest(spark: SparkSession, embDf: DataFrame,
+      nCentroids: Int, nIter: Int, anchorBase: Long = 100L): DataFrame =
+    ivfListsOf(embDf, trainIvfAnchors(embDf, nCentroids, nIter, anchorBase))
+
+  // fixed-point scale for centroid accumulation: component sums are taken
+  // over round(x * 2^20) longs, so the per-list reduction is exact integer
+  // arithmetic — commutative and associative — and the trained centroids
+  // are bit-identical regardless of partition count or merge order (a
+  // plain double sum would drift with Spark's nondeterministic partial-
+  // aggregate order, making the quantizer irreproducible run to run)
+  private val CentroidFp = 1L << 20
+
+  /** Lloyd-iterated spherical k-means coarse quantizer (MacQueen 1967;
+    * Dhillon & Modha, "Concept decompositions for large sparse text data
+    * using clustering", Machine Learning 42, 2001 — the cosine-objective
+    * variant): seeds = the deterministic `ivfAnchors` rows, then `nIter`
+    * rounds of (assign every vector to its max-cosine centroid) →
+    * (centroid := mean of its vectors). The mean's DIRECTION is the
+    * maximizer of the within-list cosine sum, so the quantization
+    * objective is monotone non-decreasing per round (pinned in
+    * VectorOpsSpec); cosine ignores the norm, so dividing by n is only
+    * for numerical headroom.
+    *
+    * Distribution shape: each round is one codegen'd assignment scan +
+    * `posexplode` to (list, dim) cells + ONE hash aggregation on the
+    * (list_id, j) key — nCentroids×dim groups, map-side combined, so the
+    * shuffle carries ~nCentroids×dim×partitions longs no matter the
+    * corpus size. Only nCentroids rows ever reach the driver; at 10^10
+    * vectors this trains offline on a sample and broadcasts, exactly like
+    * the published IVF recipe. Empty lists keep their previous centroid.
+    */
+  private[operators] def trainIvfAnchors(embDf: DataFrame, nCentroids: Int, nIter: Int,
+      anchorBase: Long = 100L): Array[Anchor] = {
+    var cur = ivfAnchors(embDf, nCentroids, anchorBase)
+    val dim = cur.head.v.length
+    for (_ <- 0 until nIter) {
+      val cells = ivfListsOf(embDf, cur)
+        .select(col("list_id"), posexplode(col("emb")).as(Seq("j", "x")))
+        .groupBy(col("list_id"), col("j"))
+        .agg(sum(expr(s"cast(round(x * ${CentroidFp}d) as long)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val sums = Array.fill(nCentroids)(new Array[Long](dim))
+      val counts = new Array[Long](nCentroids)
+      cells.foreach { r =>
+        sums(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+        counts(r.getInt(0)) = r.getLong(3)
+      }
+      cur = cur.map { a =>
+        if (counts(a.j) == 0L) a
+        else {
+          val v = sums(a.j).map(_.toDouble / (CentroidFp * counts(a.j)))
+          val nrm = math.sqrt(v.map(x => x * x).sum)
+          if (nrm == 0.0) a else Anchor(a.j, v, nrm)
+        }
+      }
+    }
+    cur
+  }
+
+  /** Mean max-cosine of the corpus to its assigned centroid — the
+    * spherical k-means objective, in permille. Test seam for the
+    * monotone-improvement property.
+    */
+  def ivfObjectivePermilleForTest(embDf: DataFrame,
+      anchors: Array[Anchor]): Long = {
+    val r = ivfListsOf(embDf, anchors)
+      .agg(floor(avg(expr("array_max(cos_arr)")) * 1000).cast("long"))
+      .head.getLong(0)
+    r
+  }
+
   def annIvfOf(spark: SparkSession, embDf: DataFrame, cacheKey: String,
       nQueries: Int = 20, k: Int = 3, nCentroids: Int = 16,
       nProbe: Int = 2, anchorBase: Long = 100L): DataFrame = {
@@ -200,8 +273,35 @@ object VectorOps {
       ivfAnchors(embDf, nCentroids, anchorBase))
     // anchorBase is part of the key: two quantizers over the same corpus
     // must never share inverted lists
-    val base = graft.PlanCache.cached(spark,
-      s"ann-ivf-lists:$cacheKey:$nCentroids:$anchorBase")(
+    annIvfWith(spark, embDf, anchors,
+      s"ann-ivf-lists:$cacheKey:$nCentroids:$anchorBase",
+      nQueries, k, nCentroids, nProbe)
+  }
+
+  /** IVF ANN with the Lloyd-TRAINED coarse quantizer — same probe +
+    * exact-re-rank machinery as `annIvfOf`, but the inverted lists come
+    * from `trainIvfAnchors` instead of raw corpus rows. Assignment stays
+    * cosine-based, so the scale-invariance the planted oracle rests on
+    * (a vector and its ×2^k copy always share a list) holds for ANY
+    * centroid set — the trained path is oracle-checked by the identical
+    * closed form (`q_ann_ivf_trained`).
+    */
+  def annIvfTrainedOf(spark: SparkSession, embDf: DataFrame,
+      cacheKey: String, nQueries: Int = 20, k: Int = 3,
+      nCentroids: Int = 16, nProbe: Int = 2, nIter: Int = 3,
+      anchorBase: Long = 100L): DataFrame = {
+    val anchors = graft.PlanCache.memoValue(spark,
+      s"ann-ivf-trained-anchors:$cacheKey:$nCentroids:$nIter:$anchorBase")(
+      trainIvfAnchors(embDf, nCentroids, nIter, anchorBase))
+    annIvfWith(spark, embDf, anchors,
+      s"ann-ivf-trained-lists:$cacheKey:$nCentroids:$nIter:$anchorBase",
+      nQueries, k, nCentroids, nProbe)
+  }
+
+  private def annIvfWith(spark: SparkSession, embDf: DataFrame,
+      anchors: Array[Anchor], listCacheKey: String, nQueries: Int, k: Int,
+      nCentroids: Int, nProbe: Int): DataFrame = {
+    val base = graft.PlanCache.cached(spark, listCacheKey)(
       ivfListsOf(embDf, anchors))
     // query side probes its nProbe nearest lists (the first probe is its
     // own list, so planted same-direction neighbors are always reachable):

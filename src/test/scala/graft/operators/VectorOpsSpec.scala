@@ -76,4 +76,44 @@ class VectorOpsSpec extends SparkTestBase {
       assert(lists(id) == lists(id + 5000L), s"×2 copy of $id changed list")
     }
   }
+
+  test("trained IVF quantizer: bit-deterministic training, monotone " +
+      "objective, scale-invariant assignment, recall preserved") {
+    val embDf = spark.read.parquet(s"$embDir/embeddings.parquet")
+    // bit-determinism: the scaled-long accumulation makes two training
+    // runs (different partition layouts included) produce IDENTICAL
+    // centroids — fp-sum drift would break quantizer reproducibility
+    val t1 = VectorOps.trainIvfAnchors(embDf, nCentroids = 8, nIter = 3)
+    val t2 = VectorOps.trainIvfAnchors(embDf.repartition(7), nCentroids = 8,
+      nIter = 3)
+    t1.zip(t2).foreach { case (a, b) =>
+      assert(a.v.sameElements(b.v) && a.nrm == b.nrm,
+        s"centroid ${a.j} not reproducible")
+    }
+    // spherical k-means monotonicity: the mean direction maximizes the
+    // within-list cosine sum, so Lloyd rounds never decrease the objective
+    val obj0 = VectorOps.ivfObjectivePermilleForTest(embDf,
+      VectorOps.trainIvfAnchors(embDf, nCentroids = 8, nIter = 0))
+    val obj3 = VectorOps.ivfObjectivePermilleForTest(embDf, t1)
+    assert(obj3 >= obj0, s"objective fell: seed $obj0 -> trained $obj3")
+    // scale-invariance survives training (the planted-oracle property):
+    // a ×2 copy always shares its base vector's trained list
+    val doubled = embDf.select((col("vec_id") + 5000L).as("vec_id"),
+      expr("transform(embedding, x -> x * cast(2.0 as float))").as("embedding"))
+    val lists = VectorOps.annIvfTrainedListsForTest(spark,
+      embDf.select("vec_id", "embedding").unionByName(doubled),
+      nCentroids = 8, nIter = 2)
+      .select("vec_id", "list_id").as[(Long, Int)].collect().toMap
+    embDf.select("vec_id").as[Long].collect().foreach { id =>
+      assert(lists(id) == lists(id + 5000L),
+        s"×2 copy of $id changed trained list")
+    }
+    // end-to-end through the probe + re-rank path: planted near-dups are
+    // still found under the trained quantizer
+    val top = VectorOps.annIvfTrainedOf(spark, embDf, s"spec:$embDir",
+      nQueries = 20, k = 1, nCentroids = 8, nProbe = 2, nIter = 3)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = (0L until 20L).count(q => top.get(q).contains(q + 1000L))
+    assert(hits >= 18, s"trained IVF recall $hits/20")
+  }
 }
