@@ -215,6 +215,10 @@ object SparkEntry {
     "q_token_count" -> ((s, d) => TextOps.tokenCount(s, d)),
     "q_quality" -> ((s, d) => TextOps.quality(s, d)),
     "q_lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    // capstone training-data composition: quality gate ∘ language gate ∘
+    // fingerprint dedup ∘ deterministic md5 train/val/test split — one
+    // shuffle total (the fingerprint window over gate survivors)
+    "q_training_mix" -> ((s, d) => TextOps.trainingMix(s, d)),
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccard(s, d)),
     // ---- planted-duplicate corpora (fixtures/PlantedFixtures): the
     // LSH/simhash family runs over documents whose near-dup pairs exist by
@@ -1122,6 +1126,63 @@ object SparkEntry {
         |    - length(regexp_replace(text, '[^0-9]', '', 'g'))
         |    - length(regexp_replace(text, '[^ \t\n]', '', 'g'))) * 1000.0 / length(text)) AS BIGINT) AS punct_permille
         |FROM documents""".stripMargin,
+    // the full composition restated in SQL: same gates, same window-min
+    // canonical, same md5 bucket arithmetic (strpos ≡ Spark instr)
+    "q_training_mix" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS BIGINT) AS n_chars_m,
+        |    CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |      * 1000.0 / length(text)) AS BIGINT) AS alpha_permille,
+        |    lower(text) AS lt
+        |  FROM documents),
+        |sc AS (
+        |  SELECT *,
+        |    (length(lt) - length(replace(lt, ' the ', ''))) // 5
+        |      + (length(lt) - length(replace(lt, ' and ', ''))) // 5
+        |      + (length(lt) - length(replace(lt, ' is ', ''))) // 4 AS score_en,
+        |    (length(lt) - length(replace(lt, ' der ', ''))) // 5
+        |      + (length(lt) - length(replace(lt, ' und ', ''))) // 5
+        |      + (length(lt) - length(replace(lt, ' die ', ''))) // 5 AS score_de,
+        |    (length(lt) - length(replace(lt, ' le ', ''))) // 4
+        |      + (length(lt) - length(replace(lt, ' la ', ''))) // 4
+        |      + (length(lt) - length(replace(lt, ' et ', ''))) // 4 AS score_fr,
+        |    (length(lt) - length(replace(lt, ' el ', ''))) // 4
+        |      + (length(lt) - length(replace(lt, ' los ', ''))) // 5
+        |      + (length(lt) - length(replace(lt, ' una ', ''))) // 5 AS score_es
+        |  FROM g),
+        |lg AS (
+        |  SELECT *,
+        |    CASE
+        |      WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es AND score_en > 0 THEN 'en'
+        |      WHEN score_de >= score_fr AND score_de >= score_es AND score_de > 0 THEN 'de'
+        |      WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+        |      WHEN score_es > 0 THEN 'es'
+        |      ELSE 'und' END AS pred_lang
+        |  FROM sc),
+        |gated AS (
+        |  SELECT * FROM lg
+        |  WHERE n_chars_m >= 40 AND n_chars_m <= 100000
+        |    AND alpha_permille >= 500 AND pred_lang IN ('en','de','fr','es')),
+        |canon AS (
+        |  SELECT *,
+        |    min(doc_id) OVER (PARTITION BY
+        |      md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS canonical
+        |  FROM gated),
+        |b AS (
+        |  SELECT *,
+        |    (strpos('0123456789abcdef',
+        |       substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + strpos('0123456789abcdef',
+        |       substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |  FROM canon WHERE doc_id = canonical)
+        |SELECT doc_id, pred_lang,
+        |  CASE WHEN bucket < 13 THEN 'test'
+        |       WHEN bucket < 26 THEN 'val'
+        |       ELSE 'train' END AS split,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  n_chars_m, alpha_permille
+        |FROM b""".stripMargin,
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
         |sc AS (

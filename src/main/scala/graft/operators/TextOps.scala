@@ -115,6 +115,54 @@ object TextOps {
         predicted.as("predicted_lang")): _*)
   }
 
+  /** Training-corpus assembly — the capstone composition a training-data
+    * pipeline runs over a crawled document table: quality gate (alpha
+    * ratio + length band), language gate, fingerprint dedup (canonical =
+    * min doc_id per whitespace/case-normalized digest), and a
+    * deterministic content-hash split into train/val/test.
+    *
+    * Stage order is the 100 TB order: both gates are scan-stage column
+    * arithmetic (fully codegen'd, no shuffle) and run FIRST, so the one
+    * shuffle in the whole plan — the fingerprint window — only ever sees
+    * survivors. The split key is `md5("split:" || doc_id)`: its first two
+    * hex digits give a stable 256-bucket assignment that any engine
+    * reproduces (DuckDB oracle included), so membership never moves when
+    * the corpus grows — the property that keeps eval sets frozen across
+    * recrawls. All thresholds integer (permille / bucket counts); no
+    * doubles cross an engine boundary.
+    */
+  def trainingMix(spark: SparkSession, sfDir: String,
+      minAlphaPermille: Int = 500, minChars: Int = 40,
+      maxChars: Int = 100000, langs: Seq[String] = langMarkers.map(_._1),
+      valBuckets: Int = 13, testBuckets: Int = 13): DataFrame = {
+    val t = col("text")
+    val nChars = length(t).cast("long")
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+    val gated = docs(spark, sfDir)
+      .withColumn("n_chars_m", nChars)
+      .withColumn("alpha_permille", floor(alpha * 1000.0 / nChars).cast("long"))
+      .withColumn("pred_lang", langIdCol(t))
+      .filter(col("n_chars_m") >= minChars && col("n_chars_m") <= maxChars &&
+        col("alpha_permille") >= minAlphaPermille &&
+        col("pred_lang").isin(langs: _*))
+    // one shuffle: min-id canonical per fingerprint, window form (no join)
+    val fpw = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val hexPos = (c: Column) => instr(lit("0123456789abcdef"), c) - 1
+    val h = md5(concat(lit("split:"), col("doc_id").cast("string")))
+    val bucket = hexPos(substring(h, 1, 1)) * 16 + hexPos(substring(h, 2, 1))
+    gated
+      .withColumn("fp", md5(lower(regexp_replace(t, "\\s+", " "))))
+      .withColumn("canonical", min(col("doc_id")).over(fpw))
+      .filter(col("doc_id") === col("canonical"))
+      .withColumn("bucket", bucket.cast("long"))
+      .select(col("doc_id"), col("pred_lang"),
+        when(col("bucket") < testBuckets, "test")
+          .when(col("bucket") < testBuckets + valBuckets, "val")
+          .otherwise("train").as("split"),
+        size(split(trim(t), "\\s+")).cast("long").as("n_tokens"),
+        col("n_chars_m"), col("alpha_permille"))
+  }
+
   /** Word 5-gram shingles, distinct per document. The inverted index that
     * drives both n-gram-Jaccard and MinHash candidate generation.
     * `hashed=true` emits xxhash64 keys computed IN the shingle transform —

@@ -179,6 +179,44 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("trainingMix: gates, fingerprint dedup, and a frozen md5 split") {
+    val dir = Files.createTempDirectory("graft-mix").toString
+    val en = "the cat and the dog is here and the weather is fine today again"
+    def write(extra: Seq[(Long, String)]): Unit =
+      (Seq(
+        (1L, en),
+        // same fingerprint as doc 1 (case + whitespace variant): deduped
+        (2L, "THE cat and the DOG   is here and the weather is fine today again"),
+        (3L, "der hund und die katze und der rest sind alle hier und da"),
+        (4L, "the cat and dog is"), // short: fails the length gate
+        (5L, "the 123456 and 789012 is 345678 and 901234 the 567890 is 123456"),
+        (6L, "zzz qqq xxx yyy vvv www mmm nnn ooo ppp qqq rrr sss ttt uuu")
+      ) ++ extra).map { case (id, t) => (id, t, "x", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    write(Seq.empty)
+    val got = TextOps.trainingMix(spark, dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // 2 = fingerprint dup of 1, 4 = too short, 5 = alpha gate, 6 = 'und'
+    assert(got.keySet == Set(1L, 3L))
+    // the split is the md5 bucket arithmetic, independently recomputed
+    def expectedSplit(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val b = Integer.parseInt(hex.take(2), 16)
+      if (b < 13) "test" else if (b < 26) "val" else "train"
+    }
+    got.foreach { case (id, s) => assert(s == expectedSplit(id), s"doc $id") }
+    // membership is FROZEN: growing the corpus never moves a split
+    write((100L until 140L).map(i => (i, s"$en extra $i")))
+    val grown = TextOps.trainingMix(spark, dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(grown(1L) == got(1L) && grown(3L) == got(3L))
+    assert(grown.keySet.size == 42)
+    grown.foreach { case (id, s) => assert(s == expectedSplit(id), s"doc $id") }
+  }
+
   test("langId picks the marker language deterministically") {
     val dir = Files.createTempDirectory("graft-lang").toString
     Seq(
