@@ -56,10 +56,12 @@ object Bench {
     // probe-limited lists); the O(Q×N) brute-force twin stays in the suite
     // as the RECALL ORACLE only — it is correct by design but must never
     // be read as the production ANN cost
-    "q_ann_lsh", "q_ann_ivf",
+    "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_trained",
     // the image family: decode-bounded pHash pigeonhole pairs over the
     // 539-image planted corpus, and the shuffle-free vision-prep scan
-    "q_image_neardup", "q_vision_prep")
+    "q_image_neardup", "q_vision_prep",
+    // the capstone composition: gates + fingerprint dedup + frozen split
+    "q_training_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -80,6 +80,8 @@ object KrawlCli {
             case i => (body.take(i), Some(body.drop(i + 1)))
           }
           if (flagOpts(name) && inline.isEmpty) flags += name
+          else if (flagOpts(name)) // --flag=value: exists but takes no value
+            return Left(s"""The "--$name" option does not accept a value.""")
           else if (valueOpts(name)) inline match {
             case Some(v) => values = values.updated(name, values(name) :+ v)
             case None => takeValue(name) match {
@@ -154,18 +156,33 @@ object KrawlCli {
 
   final case class CliResult(exitCode: Int, lines: Seq[String])
 
+  /** The implemented project-repository types — like the reference, only
+    * "file" exists (repository/factory.py:16-18), and like the reference
+    * the enabled set changes no output today: url.py:80,105 leave the
+    * repository store path commented out, so -r is select-and-validate
+    * only. Unknown names still fail fast (factory.py:29 asserts).
+    */
+  val KnownRepositories: Set[String] = Set("file")
+
   /** Execute a parsed invocation against the library. Fetch commands
     * require --store/--table-root (the local-store context).
     */
   def dispatch(spark: SparkSession, parsed: Parsed): CliResult = {
     def required(v: Option[String], name: String): Either[CliResult, String] =
       v.toRight(CliResult(1, Seq(s"""The "--$name" option is required.""")))
+    def validRepos(rs: Seq[String]): Either[CliResult, Unit] =
+      rs.find(!KnownRepositories(_)) match {
+        case Some(bad) => Left(CliResult(1,
+          Seq(s"""Unknown repository type "$bad" (known: ${KnownRepositories.mkString(", ")}).""")))
+        case None => Right(())
+      }
     parsed.command match {
       case ShowVersion => CliResult(0, Seq(s"krawl $Version"))
       case Help(topic) => CliResult(0, helpText(topic))
       case ListFetchers => CliResult(0, Krawl.listFetchers)
       case f: FetchUrl =>
         (for {
+          _ <- validRepos(f.repositories)
           store <- required(f.store, "store")
           root <- required(f.tableRoot, "table-root")
           cfg <- loadConfig(parsed.configPath)
@@ -182,6 +199,7 @@ object KrawlCli {
         }).merge
       case f: FetchAll =>
         (for {
+          _ <- validRepos(f.repositories)
           store <- required(f.store, "store")
           root <- required(f.tableRoot, "table-root")
           cfg <- loadConfig(parsed.configPath)

@@ -509,18 +509,7 @@ object SparkEntry {
       val dumpDir = "/tmp/graft_mm_store_500"
       graft.fixtures.SyntheticStore.ensureOnDisk(s, dumpDir, 500L)
       val P = graft.fixtures.PlantedFixtures
-      val background = s.read.parquet(dumpDir).select(
-        regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long")
-          .as("doc_id"),
-        col("bytes")).filter(col("doc_id") >= 20)
-      val q = P.noiseImages(s, 20)
-      val corpus = background.unionByName(q)
-        .unionByName(q.select((col("doc_id") + P.CloneExact).as("doc_id"),
-          col("bytes")))
-        .unionByName(q.select((col("doc_id") + P.CloneScaled).as("doc_id"),
-          MultimodalOps.resizeUdf(4096)(col("bytes")).as("bytes")))
-        .unionByName(q.select((col("doc_id") + P.CloneShifted).as("doc_id"),
-          P.brightnessShiftedUdf(col("bytes")).as("bytes")))
+      val corpus = P.imageNearDupCorpus(s, dumpDir)
       val planted = s.range(1L, 20L).select(col("id").as("doc_a"),
         explode(array(
           struct(lit("exact").as("variant"), lit(P.CloneExact).as("off")),
@@ -549,18 +538,7 @@ object SparkEntry {
       val dumpDir = "/tmp/graft_mm_store_500"
       graft.fixtures.SyntheticStore.ensureOnDisk(s, dumpDir, 500L)
       val P = graft.fixtures.PlantedFixtures
-      val background = s.read.parquet(dumpDir).select(
-        regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long")
-          .as("doc_id"),
-        col("bytes")).filter(col("doc_id") >= 20)
-      val q = P.noiseImages(s, 20)
-      val corpus = background.unionByName(q)
-        .unionByName(q.select((col("doc_id") + P.CloneExact).as("doc_id"),
-          col("bytes")))
-        .unionByName(q.select((col("doc_id") + P.CloneScaled).as("doc_id"),
-          MultimodalOps.resizeUdf(4096)(col("bytes")).as("bytes")))
-        .unionByName(q.select((col("doc_id") + P.CloneShifted).as("doc_id"),
-          P.brightnessShiftedUdf(col("bytes")).as("bytes")))
+      val corpus = P.imageNearDupCorpus(s, dumpDir)
       MultimodalOps.imageDedupClusters(s, corpus, s"img-planted:$d")
         .filter(col("canonical_doc_id") < 20)
     }),

@@ -210,6 +210,31 @@ object PlantedFixtures {
   }
   val brightnessShiftedUdf = udf(brightnessShifted _)
 
+  /** The planted image near-dup corpus shared by `q_image_neardup` and
+    * `q_image_dedup_clusters` (one definition — the two queries share a
+    * PlanCache phash key, so their corpora must never drift apart):
+    * the dumped store's gradient images (ids ≥ 20) as aHash-degenerate
+    * distractors, the noise-textured query images, and the three clone
+    * classes per query — exact byte copy (+CloneExact), lossless
+    * re-encode through the real resize operator at identity scale
+    * (+CloneScaled), and the uniform +8 brightness shift (+CloneShifted).
+    */
+  def imageNearDupCorpus(spark: SparkSession, dumpDir: String): DataFrame = {
+    val background = spark.read.parquet(dumpDir).select(
+      regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long")
+        .as("doc_id"),
+      col("bytes")).filter(col("doc_id") >= 20)
+    val q = noiseImages(spark, 20)
+    background.unionByName(q)
+      .unionByName(q.select((col("doc_id") + CloneExact).as("doc_id"),
+        col("bytes")))
+      .unionByName(q.select((col("doc_id") + CloneScaled).as("doc_id"),
+        graft.operators.MultimodalOps.resizeUdf(4096)(col("bytes"))
+          .as("bytes")))
+      .unionByName(q.select((col("doc_id") + CloneShifted).as("doc_id"),
+        brightnessShiftedUdf(col("bytes")).as("bytes")))
+  }
+
   /** Embeddings ∪ planted neighbors for the first `nQueries` vectors:
     * the exact copy and the ×2.0f copy (see object doc for why both are
     * bit-deterministic through the LSH + cosine path).

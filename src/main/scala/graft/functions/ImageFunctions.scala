@@ -69,10 +69,6 @@ object ImageFunctions {
     if (mse == 0.0) 99.0 else math.min(99.0, 10.0 * math.log10(255.0 * 255.0 / mse))
   }
 
-  /** aHash-64: average-hash over an 8×8 grayscale downsample (FIXTURES.md F1).
-    * Block-mean downsampling (not interpolation) so the hash is exactly
-    * reproducible from pixel data alone.
-    */
   /** 8×8 block mean luminances (the shared downsample behind aHash and
     * the continuous image embedding).
     */
@@ -103,6 +99,10 @@ object ImageFunctions {
     gray
   }
 
+  /** aHash-64: average-hash over an 8×8 grayscale downsample (FIXTURES.md F1).
+    * Block-mean downsampling (not interpolation) so the hash is exactly
+    * reproducible from pixel data alone.
+    */
   def aHash64(pixels: Array[Int], w: Int, h: Int): Long = {
     val gray = blockGray64(pixels, w, h)
     val mean = gray.sum / 64.0

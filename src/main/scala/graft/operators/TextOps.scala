@@ -476,9 +476,19 @@ object TextOps {
       .limit(1).count()
     require(deep == 0L, "non-star fixpoint: a parent is itself a child")
     val roots = e.select(col("lo")).distinct()
-    val labels = e.select(col("hi").as("doc_id"), col("lo").as("canonical_doc_id"))
+    val starLabels = e.select(col("hi").as("doc_id"), col("lo").as("canonical_doc_id"))
       .unionByName(roots.select(col("lo").as("doc_id"),
         col("lo").as("canonical_doc_id")))
+    // nodes whose only pairs were self-loops were dropped by the hi != lo
+    // edge filter; label them as their own singleton components so both
+    // CC variants honor the same contract (every endpoint in `pairs`
+    // appears in the output — min-label keeps such nodes naturally)
+    val selfOnly = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .join(starLabels, Seq("doc_id"), "left_anti")
+    val labels = starLabels.unionByName(
+      selfOnly.select(col("doc_id"), col("doc_id").as("canonical_doc_id")))
     (labels, iter)
   }
 

@@ -141,8 +141,10 @@ object GithubGraphQL {
         p.getField("data").getField("rateLimit").getField("remaining"))
       .withColumn("rl_reset_at",
         p.getField("data").getField("rateLimit").getField("resetAt"))
+      // try_element_at: an EMPTY errors array must yield null, not an ANSI
+      // INVALID_ARRAY_INDEX task failure — errors are data here
       .withColumn("error",
-        element_at(p.getField("errors"), 1).getField("message"))
+        try_element_at(p.getField("errors"), lit(1)).getField("message"))
   }
 
   /** The primary GraphQL budget as an R1 politeness window: hourly point

@@ -58,6 +58,18 @@ class KrawlCliSpec extends SparkTestBase {
       Left("""Not enough arguments (missing: "url")."""))
     assert(parse(Seq("fetch", "url", "u", "--report")) ==
       Left("""The "--report" option requires a value."""))
+    // a flag given a value is a DIFFERENT error than a nonexistent option
+    assert(parse(Seq("fetch", "thingiverse.com", "--start-over=true")) ==
+      Left("""The "--start-over" option does not accept a value."""))
+  }
+
+  test("dispatch rejects unknown repository types like the reference " +
+      "(factory.py:29 asserts; only 'file' is implemented)") {
+    val p = parse(Seq("fetch", "url", "https://a/1", "-r", "s3",
+      "--store", "/s", "--table-root", "/t")).toOption.get
+    val r = KrawlCli.dispatch(null, p)
+    assert(r.exitCode == 1)
+    assert(r.lines.exists(_.contains("""Unknown repository type "s3"""")))
   }
 
   // ---- dispatch ----

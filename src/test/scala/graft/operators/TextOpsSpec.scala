@@ -110,7 +110,8 @@ class TextOpsSpec extends SparkTestBase {
     val pairs = (
       (0L until 30L by 10).flatMap(k => Seq((k, k + 1), (k + 1, k + 2))) ++
         Seq((100L, 101L), (101L, 102L), (100L, 102L)) ++ // triangle
-        Seq((200L, 205L), (205L, 201L), (201L, 207L)) // zigzag ids
+        Seq((200L, 205L), (205L, 201L), (201L, 207L)) ++ // zigzag ids
+        Seq((300L, 300L)) // self-pair-only node: singleton in BOTH variants
       ).toDF("doc_a", "doc_b")
     val viaMinLabel = TextOps.connectedComponents(pairs)
       .as[(Long, Long)].collect().toSet
@@ -122,6 +123,7 @@ class TextOpsSpec extends SparkTestBase {
     val m = viaStars.toMap
     assert(Seq(200L, 201L, 205L, 207L).forall(m(_) == 200L)) // zigzag min root
     assert(Seq(100L, 101L, 102L).forall(m(_) == 100L))
+    assert(m(300L) == 300L) // self-pair node kept as its own component
   }
 
   test("reliable checkpointing: both CC variants produce identical labels " +

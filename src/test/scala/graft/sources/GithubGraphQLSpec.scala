@@ -81,6 +81,13 @@ class GithubGraphQLSpec extends SparkTestBase {
     val e = rows(1)
     assert(e.getAs[String]("error").contains("Could not resolve"))
     assert(e.getAs[String]("owner") == null)
+    // an EMPTY errors array (servers do send it) must yield a null error
+    // column, not an ANSI INVALID_ARRAY_INDEX task failure
+    val emptyErrors = """{"data": null, "errors": []}"""
+    val ee = GithubGraphQL.parseProjectResponses(
+      Seq(emptyErrors).toDF("json"), "json").collect()(0)
+    assert(ee.getAs[String]("error") == null)
+    assert(ee.getAs[String]("owner") == null)
   }
 
   test("decoded default_branch drives the RepoEnrich coalesce; rateLimit " +
