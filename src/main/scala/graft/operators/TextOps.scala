@@ -37,11 +37,21 @@ object TextOps {
       col("doc_id"),
       md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
 
-  /** Whitespace token count + char count. */
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
+    * punctuation marks — the ASCII core of the GPT-2 pre-tokenization
+    * regex (Radford et al. 2019, the public pattern without the unicode
+    * categories this container can't byte-map), identical semantics under
+    * Java regex and RE2 so the count is engine-reproducible.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Whitespace + BPE-ish token counts + char count (shuffle-free scan). */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir).select(
       col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0)))
+        .cast("long").as("n_tokens_bpe"),
       length(col("text")).cast("long").as("n_chars_m"))
 
   /** Quality scoring: alpha/digit/space/punct composition in permille,

@@ -74,6 +74,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_training_mix: ONE shuffle (the fingerprint window over gate " +
+      "survivors), gates evaluated scan-stage, no join") {
+    val p = plan("q_training_mix")
+    // keyed exchange lines only — the formatted section repeats each
+    // Exchange as a bare "(n) Exchange" header with the keys in Arguments
+    val keyed = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning") ||
+        l.contains("Exchange SinglePartition") ||
+        l.contains("Arguments: hashpartitioning") ||
+        l.contains("Arguments: rangepartitioning")).toVector
+    assert(keyed.nonEmpty && keyed.forall(_.contains("partitioning(fp")),
+      s"expected only the fp window exchange:\n${keyed.mkString("\n")}")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+    assert(p.contains("Window"), "fingerprint dedup should be a window")
+  }
+
   test("planted near-dup queries: inverted-index joins only — no cartesian, " +
       "no nested-loop, pair space never materializes") {
     // the LSH family over the planted corpora must keep the same scale
