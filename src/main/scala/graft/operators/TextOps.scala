@@ -141,36 +141,51 @@ object TextOps {
     * recrawls. All thresholds integer (permille / bucket counts); no
     * doubles cross an engine boundary.
     */
-  def trainingMix(spark: SparkSession, sfDir: String,
+  /** The gate + metric + fingerprint + split projection of `trainingMix`
+    * WITHOUT the dedup — pure scan-stage column arithmetic over any
+    * (doc_id, text, …) frame, batch or streaming (no shuffle, no state),
+    * so the batch window dedup and the streaming stateful dedup consume
+    * the exact same gated rows. Output adds (pred_lang, split, n_tokens,
+    * n_chars_m, alpha_permille, fp).
+    */
+  def trainingGate(docsDf: DataFrame,
       minAlphaPermille: Int = 500, minChars: Int = 40,
       maxChars: Int = 100000, langs: Seq[String] = langMarkers.map(_._1),
       valBuckets: Int = 13, testBuckets: Int = 13): DataFrame = {
     val t = col("text")
     val nChars = length(t).cast("long")
     val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
-    val gated = docs(spark, sfDir)
+    val hexPos = (c: Column) => instr(lit("0123456789abcdef"), c) - 1
+    val h = md5(concat(lit("split:"), col("doc_id").cast("string")))
+    val bucket = hexPos(substring(h, 1, 1)) * 16 + hexPos(substring(h, 2, 1))
+    docsDf
       .withColumn("n_chars_m", nChars)
       .withColumn("alpha_permille", floor(alpha * 1000.0 / nChars).cast("long"))
       .withColumn("pred_lang", langIdCol(t))
       .filter(col("n_chars_m") >= minChars && col("n_chars_m") <= maxChars &&
         col("alpha_permille") >= minAlphaPermille &&
         col("pred_lang").isin(langs: _*))
-    // one shuffle: min-id canonical per fingerprint, window form (no join)
-    val fpw = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val hexPos = (c: Column) => instr(lit("0123456789abcdef"), c) - 1
-    val h = md5(concat(lit("split:"), col("doc_id").cast("string")))
-    val bucket = hexPos(substring(h, 1, 1)) * 16 + hexPos(substring(h, 2, 1))
-    gated
       .withColumn("fp", md5(lower(regexp_replace(t, "\\s+", " "))))
-      .withColumn("canonical", min(col("doc_id")).over(fpw))
-      .filter(col("doc_id") === col("canonical"))
       .withColumn("bucket", bucket.cast("long"))
-      .select(col("doc_id"), col("pred_lang"),
+      .withColumn("split",
         when(col("bucket") < testBuckets, "test")
           .when(col("bucket") < testBuckets + valBuckets, "val")
-          .otherwise("train").as("split"),
-        size(split(trim(t), "\\s+")).cast("long").as("n_tokens"),
-        col("n_chars_m"), col("alpha_permille"))
+          .otherwise("train"))
+      .withColumn("n_tokens", size(split(trim(t), "\\s+")).cast("long"))
+  }
+
+  def trainingMix(spark: SparkSession, sfDir: String,
+      minAlphaPermille: Int = 500, minChars: Int = 40,
+      maxChars: Int = 100000, langs: Seq[String] = langMarkers.map(_._1),
+      valBuckets: Int = 13, testBuckets: Int = 13): DataFrame = {
+    // one shuffle: min-id canonical per fingerprint, window form (no join)
+    val fpw = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    trainingGate(docs(spark, sfDir), minAlphaPermille, minChars, maxChars,
+      langs, valBuckets, testBuckets)
+      .withColumn("canonical", min(col("doc_id")).over(fpw))
+      .filter(col("doc_id") === col("canonical"))
+      .select(col("doc_id"), col("pred_lang"), col("split"),
+        col("n_tokens"), col("n_chars_m"), col("alpha_permille"))
   }
 
   /** Word 5-gram shingles, distinct per document. The inverted index that

@@ -93,6 +93,44 @@ object EventStream {
       }
   }
 
+  /** Streaming twin of `TextOps.trainingMix` — the training-corpus gate
+    * as documents ARRIVE: the gates, metrics, fingerprint, and frozen md5
+    * split are the same stateless scan projection the batch path uses
+    * (`TextOps.trainingGate` — literally shared code, so the two engines
+    * cannot drift), and the fingerprint dedup becomes first-wins state
+    * keyed by the digest (24-byte state rows; text never enters state).
+    * Batch/streaming canonical parity: batch keeps min doc_id per
+    * fingerprint, streaming keeps the first arrival — identical whenever
+    * arrival order follows doc_id (the spec pins row-level equality on
+    * such a stream, dup suppression across micro-batches included).
+    */
+  final case class GatedDoc(doc_id: Long, fp: String, pred_lang: String,
+      split: String, n_tokens: Long, n_chars_m: Long, alpha_permille: Long,
+      seq: Long)
+
+  def withTrainingGate(docsStream: DataFrame): Dataset[GatedDoc] = {
+    import docsStream.sparkSession.implicits._
+    graft.operators.TextOps.trainingGate(docsStream)
+      .select(col("doc_id"), col("fp"), col("pred_lang"), col("split"),
+        col("n_tokens"), col("n_chars_m"), col("alpha_permille"), col("seq"))
+      .as[GatedDoc]
+  }
+
+  def streamingTrainingDedup(docs: Dataset[GatedDoc]): Dataset[GatedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[Boolean, GatedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // fingerprint emitted earlier
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_.seq)) // first-wins within the batch
+          }
+      }
+  }
+
   /** Incremental frontier ingestion: streaming discovery → stateful
     * URL-seen dedup → snapshot-store commits per micro-batch (foreachBatch
     * = the streaming twin of `CrawlPipeline.run`'s slice loop; the store's

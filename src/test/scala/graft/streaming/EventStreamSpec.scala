@@ -337,6 +337,51 @@ class EventStreamSpec extends SparkTestBase {
     assert(got.size == 3, "clone classes must collapse to one row per image")
   }
 
+  test("streaming training gate: gated rows equal TextOps.trainingMix " +
+      "row-for-row when arrival order follows doc_id; cross-batch " +
+      "fingerprint dups suppressed; gate rejections never enter state") {
+    implicit val sqlCtx = spark.sqlContext
+    val en = "the cat and the dog is here and the weather is fine today again"
+    val rows = Seq(
+      (1L, en, 1L),
+      (3L, "der hund und die katze und der rest sind alle hier und da", 3L),
+      (4L, "the cat and dog is", 4L), // short: gate-rejected
+      (6L, "zzz qqq xxx yyy vvv www mmm nnn ooo ppp qqq rrr sss ttt uuu", 6L))
+    val lateDup = // fingerprint dup of doc 1 arriving in a LATER batch
+      (20L, "THE cat and the DOG   is here and the weather is fine today again", 20L)
+    val fresh = (21L, s"$en indeed", 21L)
+    val input = MemoryStream[(Long, String, Long)]
+    val gated = EventStream.withTrainingGate(
+      input.toDS().toDF("doc_id", "text", "seq"))
+    val q = EventStream.streamingTrainingDedup(gated)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("train_gate_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-train").toString)
+      .start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    input.addData(lateDup, fresh)
+    q.processAllAvailable()
+    val got = spark.table("train_gate_out").as[EventStream.GatedDoc]
+      .collect().map(g => g.doc_id ->
+        (g.pred_lang, g.split, g.n_tokens, g.n_chars_m, g.alpha_permille))
+      .toMap
+    q.stop()
+    // batch twin over the SAME corpus (arrival order = doc_id order, so
+    // min-doc_id canonical ≡ first arrival)
+    val dir = Files.createTempDirectory("graft-train-stream").toString
+    (rows :+ lateDup :+ fresh).map { case (id, t, _) => (id, t, "x", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.TextOps.trainingMix(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == batch, s"streaming $got != batch $batch")
+    assert(got.keySet == Set(1L, 3L, 21L)) // 4,6 gated out; 20 deduped
+  }
+
   test("withImagePhash: bytes leave the plan at the projection; undecodable " +
       "payloads dropped") {
     val P = graft.fixtures.PlantedFixtures
