@@ -61,7 +61,10 @@ object Bench {
     // 539-image planted corpus, and the shuffle-free vision-prep scan
     "q_image_neardup", "q_vision_prep",
     // the capstone composition: gates + fingerprint dedup + frozen split
-    "q_training_mix")
+    "q_training_mix",
+    // sitemap-fed frontier: robots discovery + XML parse (scan stage) +
+    // index expansion joins + first-wins dedup, then freshness scheduling
+    "q_sitemap_frontier", "q_recrawl_due")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

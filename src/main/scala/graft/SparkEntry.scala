@@ -39,6 +39,15 @@ object SparkEntry {
     p.toString
   }
 
+  /** The planted sitemap corpus's frontier, memoized per (session, sfDir) —
+    * shared by `q_sitemap_frontier` and `q_recrawl_due`.
+    */
+  private def sitemapFrontier(s: SparkSession, d: String): DataFrame =
+    graft.PlanCache.memo(s, s"sitemap-frontier:$d") {
+      val (robots, docs) = graft.fixtures.PlantedFixtures.sitemapCorpus(s, d)
+      graft.sources.Sitemaps.sitemapFrontier(robots, docs)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- crawl frontier operators (SURVEY §2.2/2.3/2.5/2.6/2.9) ----
     "q_canonicalize" -> ((s, d) => CrawlOps.canonicalized(s, d)
@@ -312,6 +321,45 @@ object SparkEntry {
     // ≈0.47), so the query runs the operator at a 0.3 threshold to exercise
     // the pair-emitting path with oracle-checked rows
     "q_embed_neardup" -> ((s, d) => VectorOps.embedNearDup(s, d, minPermille = 300)),
+    // embedding-cosine dedup CLUSTERS: near-dup pairs over the planted
+    // embedding corpus (exact + ×2-scaled clones, cosine bit-exactly ~1.0,
+    // every distinct pair ≤ ~0.47) → connected components. Components are
+    // the closed-form 3-member clone families {v, v+1e7, v+2e7}, canonical v
+    "q_embed_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val emb = graft.PlanCache.memo(s, s"planted-emb:$d")(
+        graft.fixtures.PlantedFixtures.plantedEmbeddings(s, d))
+        .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      val pairs = VectorOps.embedNearDupOf(emb, minPermille = 990)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      TextOps.connectedComponents(pairs)
+    }),
+    // ---- sitemap-fed frontier (sources/Sitemaps.scala) ----
+    // robots `Sitemap:` discovery → urlset/sitemapindex XML parse →
+    // one-level index expansion → first-wins URL dedup, over the planted
+    // sitemap corpus whose every field is key arithmetic (PlantedFixtures
+    // .sitemapCorpus) — the XML round-trips through the real parser while
+    // the oracle never touches XML
+    "q_sitemap_frontier" -> ((s, d) => sitemapFrontier(s, d)),
+    // freshness scheduling over that frontier: planted last-fetch regimes
+    // (never / recent / old) + a `never`-changefreq override, day-granular
+    // intervals, lastmod-evidence override, per-host budget of 5
+    "q_recrawl_due" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val k = regexp_extract(col("url"), "/p/(\\d+)", 1).cast("long")
+      val withState = sitemapFrontier(s, d)
+        .withColumn("k", k)
+        .withColumn("changefreq",
+          when(pmod(col("k"), lit(17)) === 0, lit("never"))
+            .otherwise(col("changefreq")))
+        .withColumn("last_fetch_day",
+          when(pmod(col("k"), lit(3)) === 1,
+            lit(18802L) + pmod(col("k") * 37, lit(60)))
+            .when(pmod(col("k"), lit(3)) === 2,
+              lit(18400L) + pmod(col("k") * 37, lit(60))))
+        .drop("k")
+      graft.frontier.Recrawl.due(withState, nowDay = 18862L, perHostBudget = 5)
+    }),
     // ---- normalize-stage scalar functions (SURVEY §2.8) ----
     "q_slugify" -> ((s, d) => NormOps.slugify(s, d)),
     "q_openscad_dims" -> ((s, d) => NormOps.openscadDims(s, d)),
@@ -1442,6 +1490,76 @@ object SparkEntry {
         |  FROM b a JOIN b c ON a.block = c.block AND a.vec_id < c.vec_id)
         |SELECT id_a, id_b, CAST(floor(cos * 1000) AS BIGINT) AS cos_permille
         |FROM p WHERE floor(cos * 1000) >= 300""".stripMargin,
+    // embedding-cosine dedup clusters: the planted clone families are the
+    // only pairs above 990 permille (distinct vectors peak ≈ 470), so the
+    // components are exactly {v, v+1e7, v+2e7} with canonical v
+    "q_embed_clusters" ->
+      """SELECT vec_id AS doc_id, vec_id AS canonical_doc_id
+        |FROM embeddings WHERE vec_id < 20
+        |UNION ALL
+        |SELECT vec_id + 10000000, vec_id FROM embeddings WHERE vec_id < 20
+        |UNION ALL
+        |SELECT vec_id + 20000000, vec_id FROM embeddings WHERE vec_id < 20""".stripMargin,
+    // sitemap frontier: every field of the planted corpus is key
+    // arithmetic (PlantedFixtures.sitemapCorpus scaladoc) — the oracle
+    // restates it without touching XML. The duplicate route (hosts ≥ 4
+    // also reference sm_0 directly) collapses in the first-wins dedup to
+    // the same closed-form row, so the oracle is one row per part key
+    "q_sitemap_frontier" ->
+      """SELECT
+        |  'site' || (p_partkey % 8) || '.example' AS host,
+        |  'https://site' || (p_partkey % 8) || '.example/p/' || p_partkey ||
+        |    CASE WHEN p_partkey % 11 = 0 THEN '?a=1&b=2' ELSE '' END AS url,
+        |  CASE WHEN p_partkey % 5 <> 0
+        |    THEN CAST(18262 + p_partkey % 365 AS BIGINT) END AS lastmod_day,
+        |  CASE p_partkey % 4 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+        |    WHEN 2 THEN 'monthly' END AS changefreq,
+        |  CASE WHEN p_partkey % 7 <> 0
+        |    THEN CAST((p_partkey % 10) * 100 AS BIGINT) END AS priority_permille,
+        |  'https://site' || (p_partkey % 8) || '.example/sm_' ||
+        |    ((p_partkey // 8) % 4) || '.xml' AS sitemap_url
+        |FROM part""".stripMargin,
+    // recrawl scheduling over the sitemap frontier with planted fetch
+    // state: k%3 regimes (never fetched / fetched day 18802+ / fetched day
+    // 18400+), changefreq overridden to 'never' for k%17=0, now = 18862,
+    // per-host budget 5. Due rule and ranking restated verbatim from
+    // frontier/Recrawl.scala
+    "q_recrawl_due" ->
+      """WITH f AS (
+        |  SELECT
+        |    'site' || (p_partkey % 8) || '.example' AS host,
+        |    'https://site' || (p_partkey % 8) || '.example/p/' || p_partkey ||
+        |      CASE WHEN p_partkey % 11 = 0 THEN '?a=1&b=2' ELSE '' END AS url,
+        |    CASE WHEN p_partkey % 5 <> 0 THEN 18262 + p_partkey % 365 END AS lastmod_day,
+        |    CASE WHEN p_partkey % 17 = 0 THEN 'never'
+        |      ELSE CASE p_partkey % 4 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+        |        WHEN 2 THEN 'monthly' END END AS changefreq,
+        |    CASE WHEN p_partkey % 7 <> 0
+        |      THEN CAST((p_partkey % 10) * 100 AS BIGINT) END AS priority_permille,
+        |    CASE WHEN p_partkey % 3 = 1 THEN 18802 + (p_partkey * 37) % 60
+        |      WHEN p_partkey % 3 = 2 THEN 18400 + (p_partkey * 37) % 60
+        |    END AS last_fetch_day
+        |  FROM part),
+        |d AS (
+        |  SELECT *,
+        |    CASE WHEN last_fetch_day IS NULL THEN TRUE
+        |      WHEN lastmod_day IS NOT NULL AND lastmod_day > last_fetch_day THEN TRUE
+        |      WHEN changefreq = 'never' THEN FALSE
+        |      ELSE 18862 - last_fetch_day >=
+        |        CASE changefreq WHEN 'always' THEN 0 WHEN 'hourly' THEN 0
+        |          WHEN 'daily' THEN 1 WHEN 'weekly' THEN 7 WHEN 'monthly' THEN 30
+        |          WHEN 'yearly' THEN 365 ELSE 7 END
+        |    END AS is_due
+        |  FROM f),
+        |r AS (
+        |  SELECT host, url, changefreq, priority_permille,
+        |    CAST(18862 - last_fetch_day AS BIGINT) AS staleness_days,
+        |    row_number() OVER (PARTITION BY host ORDER BY
+        |      coalesce(priority_permille, 500) DESC,
+        |      18862 - coalesce(last_fetch_day, -1) DESC, url) AS fetch_pos
+        |  FROM d WHERE is_due)
+        |SELECT host, url, changefreq, priority_permille, staleness_days, fetch_pos
+        |FROM r WHERE fetch_pos <= 5""".stripMargin,
     // the crawl e2e fetch log is closed-form: unit_path/hosting from the
     // id residue (six families), status/retries from the outcome residues
     // (precedence robots %103 → not_found %101 → transient-ok %97 →

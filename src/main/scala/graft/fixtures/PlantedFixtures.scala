@@ -235,6 +235,90 @@ object PlantedFixtures {
         brightnessShiftedUdf(col("bytes")).as("bytes")))
   }
 
+  /** Planted sitemap corpus for the sitemap source family
+    * (`sources/Sitemaps.scala`): per part key k, one `<url>` entry in the
+    * urlset of host `site(k%8).example`, child sitemap `sm_((k/8)%4).xml`;
+    * per host a `<sitemapindex>` listing its four children and a
+    * robots.txt referencing the index (hosts s ≥ 4 ALSO reference `sm_0`
+    * directly — the same URLs arrive via both paths and must collapse in
+    * the first-wins dedup). Field grammar exercised closed-form:
+    *
+    *   - k%11 == 0 → the loc carries `?a=1&amp;b=2` (entity-escaped per
+    *     protocol) → expected URL has the UNESCAPED `&`
+    *   - k%13 == 0 → the loc text is whitespace-padded → trimmed
+    *   - k%5  == 0 → no lastmod → null; else lastmod day = 18262 + k%365
+    *   - k%4: daily / WEEKLY (→ lowercased) / monthly / quarterly
+    *     (invalid → null)
+    *   - k%7 == 0 → priority "1.5" (out of range → null); else "0.(k%10)"
+    *     → permille (k%10)·100
+    *
+    * Every expectation is pure key arithmetic → the DuckDB oracle never
+    * touches XML.
+    */
+  def sitemapCorpus(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val keyed = partKeys(spark, sfDir)
+      .withColumn("s", pmod(col("k"), lit(8)))
+      .withColumn("c", pmod(floor(col("k") / 8).cast("long"), lit(4)))
+      .withColumn("host", concat(lit("site"), col("s"), lit(".example")))
+
+    val loc = concat(lit("https://"), col("host"), lit("/p/"), col("k"),
+      when(pmod(col("k"), lit(11)) === 0, lit("?a=1&amp;b=2")).otherwise(lit("")))
+    val locPadded =
+      when(pmod(col("k"), lit(13)) === 0, concat(lit("  "), loc, lit("  ")))
+        .otherwise(loc)
+    val lastmod =
+      when(pmod(col("k"), lit(5)) =!= 0,
+        concat(lit("<lastmod>"),
+          date_format(date_add(to_date(lit("2020-01-01")),
+            pmod(col("k"), lit(365)).cast("int")), "yyyy-MM-dd"),
+          lit("</lastmod>"))).otherwise(lit(""))
+    val changefreq = concat(lit("<changefreq>"),
+      element_at(array(lit("daily"), lit("WEEKLY"), lit("monthly"), lit("quarterly")),
+        pmod(col("k"), lit(4)).cast("int") + 1),
+      lit("</changefreq>"))
+    val priority = concat(lit("<priority>"),
+      when(pmod(col("k"), lit(7)) === 0, lit("1.5"))
+        .otherwise(concat(lit("0."), pmod(col("k"), lit(10)))),
+      lit("</priority>"))
+    val entry = concat(lit("<url><loc>"), locPadded, lit("</loc>"),
+      lastmod, changefreq, priority, lit("</url>"))
+
+    val docs = keyed
+      .withColumn("entry", struct(col("k"), entry.as("e")))
+      .groupBy(col("s"), col("c"), col("host"))
+      .agg(array_sort(collect_list(col("entry"))).as("entries"))
+      .select(
+        concat(lit("https://"), col("host"), lit("/sm_"), col("c"), lit(".xml"))
+          .as("sitemap_url"),
+        concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          array_join(expr("transform(entries, x -> x.e)"), ""),
+          lit("</urlset>")).as("xml"))
+
+    val hosts = keyed.select(col("s"), col("host")).distinct()
+    val indexDocs = hosts.select(
+      concat(lit("https://"), col("host"), lit("/sitemap_index.xml"))
+        .as("sitemap_url"),
+      concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        array_join(expr(
+          "transform(sequence(0, 3), c -> concat('<sitemap><loc>https://', host, " +
+            "'/sm_', c, '.xml</loc><lastmod>2020-01-0', c + 1, '</lastmod></sitemap>'))"),
+          ""),
+        lit("</sitemapindex>")).as("xml"))
+
+    val robots = hosts.select(col("host"),
+      concat(lit("User-agent: *\nDisallow: /private\nSitemap: https://"),
+        col("host"), lit("/sitemap_index.xml\n"),
+        when(col("s") >= 4,
+          concat(lit("sitemap:   https://"), col("host"), lit("/sm_0.xml  \n")))
+          .otherwise(lit(""))).as("robots_txt"))
+
+    (robots, docs.unionByName(indexDocs))
+  }
+
   /** Embeddings ∪ planted neighbors for the first `nQueries` vectors:
     * the exact copy and the ×2.0f copy (see object doc for why both are
     * bit-deterministic through the LSH + cosine path).

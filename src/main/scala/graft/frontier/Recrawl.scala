@@ -1,0 +1,77 @@
+package graft.frontier
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Freshness-driven recrawl scheduling over the sitemap-fed frontier
+  * (`sources/Sitemaps.scala`). The reference krawler crawls each source
+  * once per invocation and relies on the operator re-running it; at a
+  * 10^10-URL frontier the engine itself must decide WHICH URLs are worth
+  * refetching — the classical freshness model (Cho & Garcia-Molina,
+  * "Synchronizing a database to improve freshness", SIGMOD 2000): revisit
+  * intervals from the publisher's declared change frequency, overridden
+  * by hard evidence (a sitemap `lastmod` newer than our last fetch), under
+  * a per-host politeness budget.
+  *
+  * Day granularity throughout (the sitemap protocol's own resolution) and
+  * integer arithmetic only — oracle-parity safe.
+  */
+object Recrawl {
+
+  /** changefreq → revisit interval in days. `always`/`hourly` are finer
+    * than day granularity → 0 (due every scheduling pass); `never` is NOT
+    * here — it short-circuits in [[due]] (a `never` page is fetched once,
+    * then only on `lastmod` evidence).
+    */
+  val IntervalDays: Map[String, Long] = Map(
+    "always" -> 0L, "hourly" -> 0L, "daily" -> 1L, "weekly" -> 7L,
+    "monthly" -> 30L, "yearly" -> 365L)
+
+  /** No declared changefreq → weekly, the crawler's own prior. */
+  val DefaultIntervalDays = 7L
+
+  /** Select the URLs due for refetch at `nowDay`, ranked per host and
+    * capped at `perHostBudget` (one politeness window's worth of work).
+    *
+    * Input: (host, url, lastmod_day, changefreq, priority_permille,
+    * last_fetch_day) — nullable lastmod/changefreq/priority/last_fetch.
+    * Due when, in order:
+    *   1. never fetched (`last_fetch_day` null) — first fetch always wins;
+    *   2. `lastmod_day > last_fetch_day` — the publisher says it changed;
+    *   3. `changefreq = "never"` → NOT due (absent evidence above);
+    *   4. otherwise `nowDay - last_fetch_day >= interval(changefreq)`.
+    *
+    * Ranking per host: declared priority (null → the protocol's 0.5
+    * default), then staleness (never-fetched = maximally stale), then URL
+    * for a total order. `fetch_pos` is the 1-based position in the host's
+    * queue — the same shape `FetchStage` consumes.
+    *
+    * One shuffle (the per-host window); the due-filter is pushed into the
+    * scan stage before it. At 10^10 rows the window ranks only the due
+    * subset, and the budget cap bounds the output to hosts × budget.
+    */
+  def due(frontier: DataFrame, nowDay: Long, perHostBudget: Int): DataFrame = {
+    val interval = coalesce(
+      element_at(typedlit(IntervalDays), col("changefreq")),
+      lit(DefaultIntervalDays))
+    val isDue = when(col("last_fetch_day").isNull, lit(true))
+      .when(col("lastmod_day").isNotNull &&
+        col("lastmod_day") > col("last_fetch_day"), lit(true))
+      .when(col("changefreq") === "never", lit(false))
+      .otherwise(lit(nowDay) - col("last_fetch_day") >= interval)
+
+    val order = Window.partitionBy(col("host")).orderBy(
+      coalesce(col("priority_permille"), lit(500L)).desc,
+      (lit(nowDay) - coalesce(col("last_fetch_day"), lit(-1L))).desc,
+      col("url").asc)
+
+    frontier
+      .filter(isDue)
+      .withColumn("staleness_days", lit(nowDay) - col("last_fetch_day"))
+      .withColumn("fetch_pos", row_number().over(order).cast("long"))
+      .filter(col("fetch_pos") <= perHostBudget)
+      .select(col("host"), col("url"), col("changefreq"),
+        col("priority_permille"), col("staleness_days"), col("fetch_pos"))
+  }
+}

@@ -90,11 +90,19 @@ object VectorOps {
     * same family as SimHash block keys for text).
     */
   def embedNearDup(spark: SparkSession, sfDir: String,
+      nBits: Int = 8, minPermille: Int = 900): DataFrame =
+    embedNearDupOf(embeddings(spark, sfDir), nBits, minPermille)
+
+  /** [[embedNearDup]] over an arbitrary (vec_id, emb) corpus — the
+    * DataFrame-in flavor the dedup-clustering pipeline composes with
+    * (planted corpora, featurized image embeddings, …).
+    */
+  def embedNearDupOf(embDf: DataFrame,
       nBits: Int = 8, minPermille: Int = 900): DataFrame = {
     val blockKey = (0 until nBits).map { i =>
       when(expr(s"emb[$i]") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    val emb = embeddings(spark, sfDir)
+    val emb = embDf
       .withColumn("nrm", norm("emb"))
       .withColumn("block", blockKey)
     val a = emb.select(col("block"), col("vec_id").as("id_a"),

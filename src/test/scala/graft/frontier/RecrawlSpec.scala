@@ -1,0 +1,58 @@
+package graft.frontier
+
+import graft.SparkTestBase
+
+/** Freshness scheduling branch coverage: first-fetch, lastmod evidence,
+  * `never`, interval arithmetic, priority/staleness ranking, budget cap.
+  */
+class RecrawlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // (host, url, lastmod_day, changefreq, priority_permille, last_fetch_day)
+  private def frontier(rows: (String, String, Option[Long], Option[String],
+      Option[Long], Option[Long])*) =
+    rows.toDF("host", "url", "lastmod_day", "changefreq",
+      "priority_permille", "last_fetch_day")
+
+  private val Now = 1000L
+
+  test("due branches: first fetch, lastmod override, never, intervals, default") {
+    val f = frontier(
+      ("h", "u/first", None, Some("never"), None, None), // never fetched → due
+      ("h", "u/never-stale", None, Some("never"), None, Some(1L)), // not due
+      ("h", "u/never-changed", Some(999L), Some("never"), None, Some(900L)), // lastmod → due
+      ("h", "u/daily-fresh", None, Some("daily"), None, Some(Now)), // 0 < 1 → not due
+      ("h", "u/daily-stale", None, Some("daily"), None, Some(Now - 1)), // due
+      ("h", "u/weekly-fresh", None, Some("weekly"), None, Some(Now - 6)), // not due
+      ("h", "u/weekly-stale", None, Some("weekly"), None, Some(Now - 7)), // due
+      ("h", "u/default-fresh", None, None, None, Some(Now - 6)), // default 7 → not due
+      ("h", "u/default-stale", None, None, None, Some(Now - 7)), // due
+      ("h", "u/yearly-fresh", Some(100L), Some("yearly"), None, Some(Now - 300)), // not due
+      ("h", "u/always", None, Some("always"), None, Some(Now))) // interval 0 → due
+    val got = Recrawl.due(f, Now, perHostBudget = 100)
+      .select("url").as[String].collect().toSet
+    assert(got == Set("u/first", "u/never-changed", "u/daily-stale",
+      "u/weekly-stale", "u/default-stale", "u/always"))
+  }
+
+  test("ranking: priority desc (null=500), staleness desc, url; budget caps per host") {
+    val f = frontier(
+      ("a", "u/p9", None, Some("daily"), Some(900L), Some(Now - 2)),
+      ("a", "u/p-null", None, Some("daily"), None, Some(Now - 50)),
+      ("a", "u/p5-stale", None, Some("daily"), Some(500L), Some(Now - 60)),
+      ("a", "u/p5-tie1", None, Some("daily"), Some(500L), Some(Now - 10)),
+      ("a", "u/p5-tie2", None, Some("daily"), Some(500L), Some(Now - 10)),
+      ("a", "u/unfetched", None, None, Some(500L), None), // max staleness
+      ("b", "u/other", None, Some("daily"), Some(100L), Some(Now - 2)))
+    val got = Recrawl.due(f, Now, perHostBudget = 4)
+      .orderBy("host", "fetch_pos")
+      .select("host", "url", "fetch_pos", "staleness_days")
+      .as[(String, String, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      ("a", "u/p9", 1L, Some(2L)),
+      ("a", "u/unfetched", 2L, None), // staleness null in output, max in ranking
+      ("a", "u/p5-stale", 3L, Some(60L)),
+      ("a", "u/p-null", 4L, Some(50L)), // null priority ranks as 500, ties → staleness
+      ("b", "u/other", 1L, Some(2L))))
+  }
+}
