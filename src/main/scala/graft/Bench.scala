@@ -61,7 +61,7 @@ object Bench {
     // 539-image planted corpus, and the shuffle-free vision-prep scan
     "q_image_neardup", "q_vision_prep",
     // the capstone composition: gates + fingerprint dedup + frozen split
-    "q_training_mix",
+    "q_training_mix", "q_pack_sequences",
     // sitemap-fed frontier: robots discovery + XML parse (scan stage) +
     // index expansion joins + first-wins dedup, then freshness scheduling
     "q_sitemap_frontier", "q_recrawl_due")

@@ -228,6 +228,16 @@ object SparkEntry {
     // fingerprint dedup ∘ deterministic md5 train/val/test split — one
     // shuffle total (the fingerprint window over gate survivors)
     "q_training_mix" -> ((s, d) => TextOps.trainingMix(s, d)),
+    // deterministic language-rebalancing downsample over the assembled
+    // mix: en kept whole, de halved, fr quartered, es eighth'd, anything
+    // else dropped — membership frozen by the salted content hash
+    "q_corpus_sample" -> ((s, d) => TextOps.weightedSample(
+      TextOps.trainingMix(s, d), "pred_lang",
+      Map("en" -> 256, "de" -> 128, "fr" -> 64, "es" -> 32))
+      .select("doc_id", "pred_lang", "split", "n_tokens", "sample_bucket")),
+    // stratified sequence packing of the mix into 2048-token bins
+    "q_pack_sequences" -> ((s, d) =>
+      TextOps.packSequences(TextOps.trainingMix(s, d))),
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccard(s, d)),
     // ---- planted-duplicate corpora (fixtures/PlantedFixtures): the
     // LSH/simhash family runs over documents whose near-dup pairs exist by
@@ -711,7 +721,100 @@ object SparkEntry {
   private val S = Seeds.seedsSql
   private val C = Seeds.canonSql
 
+  /** Shared oracle prelude: the full `trainingMix` pipeline (gates →
+    * lang-id → fingerprint dedup → frozen split) as DuckDB CTEs ending in
+    * `mix(doc_id, pred_lang, split, n_tokens)` — the base the sampling
+    * and packing oracles extend. Kept textually in sync with the
+    * `q_training_mix` oracle below.
+    */
+  private val MixCte: String =
+    """WITH g AS (
+      |  SELECT doc_id, text,
+      |    CAST(length(text) AS BIGINT) AS n_chars_m,
+      |    CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      |      * 1000.0 / length(text)) AS BIGINT) AS alpha_permille,
+      |    lower(text) AS lt
+      |  FROM documents),
+      |sc AS (
+      |  SELECT *,
+      |    (length(lt) - length(replace(lt, ' the ', ''))) // 5
+      |      + (length(lt) - length(replace(lt, ' and ', ''))) // 5
+      |      + (length(lt) - length(replace(lt, ' is ', ''))) // 4 AS score_en,
+      |    (length(lt) - length(replace(lt, ' der ', ''))) // 5
+      |      + (length(lt) - length(replace(lt, ' und ', ''))) // 5
+      |      + (length(lt) - length(replace(lt, ' die ', ''))) // 5 AS score_de,
+      |    (length(lt) - length(replace(lt, ' le ', ''))) // 4
+      |      + (length(lt) - length(replace(lt, ' la ', ''))) // 4
+      |      + (length(lt) - length(replace(lt, ' et ', ''))) // 4 AS score_fr,
+      |    (length(lt) - length(replace(lt, ' el ', ''))) // 4
+      |      + (length(lt) - length(replace(lt, ' los ', ''))) // 5
+      |      + (length(lt) - length(replace(lt, ' una ', ''))) // 5 AS score_es
+      |  FROM g),
+      |lg AS (
+      |  SELECT *,
+      |    CASE
+      |      WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es AND score_en > 0 THEN 'en'
+      |      WHEN score_de >= score_fr AND score_de >= score_es AND score_de > 0 THEN 'de'
+      |      WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+      |      WHEN score_es > 0 THEN 'es'
+      |      ELSE 'und' END AS pred_lang
+      |  FROM sc),
+      |gated AS (
+      |  SELECT * FROM lg
+      |  WHERE n_chars_m >= 40 AND n_chars_m <= 100000
+      |    AND alpha_permille >= 500 AND pred_lang IN ('en','de','fr','es')),
+      |canon AS (
+      |  SELECT *,
+      |    min(doc_id) OVER (PARTITION BY
+      |      md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS canonical
+      |  FROM gated),
+      |b AS (
+      |  SELECT *,
+      |    (strpos('0123456789abcdef',
+      |       substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |    + strpos('0123456789abcdef',
+      |       substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+      |  FROM canon WHERE doc_id = canonical),
+      |mix AS (
+      |  SELECT doc_id, pred_lang,
+      |    CASE WHEN bucket < 13 THEN 'test'
+      |         WHEN bucket < 26 THEN 'val'
+      |         ELSE 'train' END AS split,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM b)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // deterministic weighted downsample: keep iff the salted 256-bucket
+    // content hash falls under the language's /256 rate
+    "q_corpus_sample" -> (MixCte +
+      """,
+        |samp AS (
+        |  SELECT *,
+        |    CAST((strpos('0123456789abcdef',
+        |         substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+        |      AS BIGINT) AS sample_bucket
+        |  FROM mix)
+        |SELECT doc_id, pred_lang, split, n_tokens, sample_bucket
+        |FROM samp
+        |WHERE sample_bucket < CASE pred_lang
+        |  WHEN 'en' THEN 256 WHEN 'de' THEN 128 WHEN 'fr' THEN 64
+        |  WHEN 'es' THEN 32 ELSE 0 END""".stripMargin),
+    // stratified sequence packing: per-(split, stratum) token cumsum in
+    // doc_id order → start offset and 2048-token bin per document
+    "q_pack_sequences" -> (MixCte +
+      """,
+        |st AS (SELECT *, doc_id // 64 AS stratum FROM mix),
+        |o AS (
+        |  SELECT doc_id, split, stratum, n_tokens,
+        |    CAST(sum(n_tokens) OVER (
+        |      PARTITION BY split, stratum ORDER BY doc_id) AS BIGINT)
+        |      - n_tokens AS offset_start
+        |  FROM st)
+        |SELECT doc_id, split, stratum, offset_start,
+        |  offset_start // 2048 AS bin_local, n_tokens
+        |FROM o""".stripMargin),
     "q_canonicalize" ->
       s"""WITH $S, $C
          |SELECT s.url, s.seq, c.hosting_id, c.unit_path

@@ -585,4 +585,68 @@ object TextOps {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Deterministic weighted downsampling for corpus rebalancing (the
+    * language/domain-mixture step of a training-data pipeline): each row
+    * is kept iff its stable 256-bucket content hash falls below the
+    * group's sampling rate, expressed in /256 units (`rates256`; groups
+    * absent from the map get `defaultRate256`). The hash is
+    * `md5("sample:" || doc_id)` — a DIFFERENT salt than the train/val/
+    * test split hash, so sampling and splitting are independent coins.
+    *
+    * Same frozen-membership property as the split: a document's keep
+    * decision never changes when the corpus grows or the job re-runs,
+    * and any engine reproduces it (the DuckDB oracle restates the bucket
+    * as strpos arithmetic on the md5 hex digits). Pure scan-stage filter:
+    * no shuffle, no sampling RNG, fully codegen'd.
+    */
+  def weightedSample(mix: DataFrame, groupCol: String,
+      rates256: Map[String, Int], defaultRate256: Int = 0): DataFrame = {
+    require((defaultRate256 +: rates256.values.toSeq)
+      .forall(r => r >= 0 && r <= 256), "rates are /256 in [0, 256]")
+    val hexPos = (c: Column) => instr(lit("0123456789abcdef"), c) - 1
+    val h = md5(concat(lit("sample:"), col("doc_id").cast("string")))
+    val bucket = hexPos(substring(h, 1, 1)) * 16 + hexPos(substring(h, 2, 1))
+    val rate = coalesce(
+      element_at(typedlit(rates256.view.mapValues(_.toLong).toMap),
+        col(groupCol)),
+      lit(defaultRate256.toLong))
+    mix
+      .withColumn("sample_bucket", bucket.cast("long"))
+      .filter(col("sample_bucket") < rate)
+  }
+
+  /** Sequence packing: lay the corpus out as contiguous token streams and
+    * record, per document, its start offset and bin (context window) —
+    * the concatenate-and-chunk packing LM pretraining uses, where
+    * documents may straddle window boundaries.
+    *
+    * A single global token cumsum would be one totally-ordered window —
+    * unshardable at 100 TB. Instead documents are packed within fixed
+    * doc-id STRATA (`stratum = doc_id div stratumWidth`): the cumsum
+    * window is keyed by (split, stratum), so the shuffle spreads over
+    * stratum count and each window partition is bounded by stratumWidth
+    * rows. The cost is at most one partially-filled bin per stratum —
+    * exactly the per-shard packing tradeoff production pipelines make.
+    * Deterministic: the order inside a stratum is doc_id, the strata are
+    * pure arithmetic, no timestamps or RNG anywhere.
+    *
+    * Output per surviving document: (doc_id, split, stratum, offset_start
+    * = tokens before it in its stratum, bin_local = offset_start div
+    * binTokens, n_tokens).
+    */
+  def packSequences(mix: DataFrame, binTokens: Long = 2048L,
+      stratumWidth: Long = 64L): DataFrame = {
+    require(binTokens > 0 && stratumWidth > 0, "positive bin/stratum sizes")
+    val stratum = expr(s"doc_id div $stratumWidth")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("stratum")).orderBy(col("doc_id"))
+    mix
+      .withColumn("stratum", stratum)
+      .withColumn("offset_start",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin_local", expr(s"offset_start div $binTokens"))
+      .select(col("doc_id"), col("split"), col("stratum"),
+        col("offset_start"), col("bin_local"), col("n_tokens"))
+  }
 }

@@ -1,6 +1,10 @@
 package graft.frontier
 
+import org.apache.spark.sql.functions._
 import graft.SparkTestBase
+import graft.fetch.FetchStage
+import graft.fixtures.PlantedFixtures
+import graft.sources.Sitemaps
 
 /** Freshness scheduling branch coverage: first-fetch, lastmod evidence,
   * `never`, interval arithmetic, priority/staleness ranking, budget cap.
@@ -54,5 +58,39 @@ class RecrawlSpec extends SparkTestBase {
       ("a", "u/p5-stale", 3L, Some(60L)),
       ("a", "u/p-null", 4L, Some(50L)), // null priority ranks as 500, ties → staleness
       ("b", "u/other", 1L, Some(2L))))
+  }
+
+  test("sitemap → recrawl → fetch stage: the due ranking IS the politeness " +
+    "order, and the schedule honors the per-host interval") {
+    val (robots, docs) =
+      PlantedFixtures.sitemapCorpus(spark, "/root/testdata/sf0.001")
+    val frontier = Sitemaps.sitemapFrontier(robots, docs)
+      .withColumn("last_fetch_day", lit(null).cast("long")) // all first-fetch
+    val due = Recrawl.due(frontier, nowDay = 18862L, perHostBudget = 3)
+
+    val tasks = FetchStage.toTasks(spark, due.select(
+      col("url").as("unit_path"), col("host").as("hosting_id"),
+      regexp_extract(col("url"), "/p/(\\d+)", 1).cast("long").as("id"),
+      col("fetch_pos").cast("int").as("priority"), col("fetch_pos").as("seq"),
+      xxhash64(col("url")).as("url_hash"), lit(0L).as("bucket"),
+      lit(false).as("robots_denied")))
+    val interval = 1000L
+    val log = FetchStage.run(spark, tasks,
+      politeness = Map.empty,
+      outcome = _ => FetchStage.Outcome("ok", 0),
+      fallback = FetchStage.Politeness(interval, 3)).collect()
+
+    assert(log.length == 8 * 3) // 8 planted hosts × budget
+    // per host: fetch position equals the recrawl rank, spacing = interval
+    log.groupBy(_.hosting_id).foreach { case (host, rows) =>
+      val byPos = rows.sortBy(_.pos)
+      assert(byPos.map(_.pos).toSeq == Seq(1L, 2L, 3L), host)
+      assert(byPos.map(_.priority).toSeq == Seq(1, 2, 3), host)
+      assert(byPos.map(_.scheduled_ms).toSeq ==
+        Seq(0L, interval, 2 * interval), host)
+    }
+    // the URLs fetched are exactly the top-3-per-host of the due ranking
+    val dueTop = due.select("url").as[String].collect().toSet
+    assert(log.map(_.unit_path).toSet == dueTop)
   }
 }

@@ -219,6 +219,65 @@ class TextOpsSpec extends SparkTestBase {
     grown.foreach { case (id, s) => assert(s == expectedSplit(id), s"doc $id") }
   }
 
+  test("weightedSample: rate 256 keeps all, 0 drops all, membership frozen " +
+    "under corpus growth, decision matches an independent MessageDigest") {
+    val mix = (1L to 400L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", "train", 10L))
+      .toDF("doc_id", "pred_lang", "split", "n_tokens")
+    val all = TextOps.weightedSample(mix, "pred_lang",
+      Map("en" -> 256, "de" -> 256))
+    assert(all.count() == 400)
+    assert(TextOps.weightedSample(mix, "pred_lang", Map.empty).count() == 0)
+
+    val kept = TextOps.weightedSample(mix, "pred_lang",
+      Map("en" -> 128, "de" -> 64)).select("doc_id").as[Long].collect().toSet
+    // independent recomputation of the bucket (raw MessageDigest, no Spark)
+    def bucket(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sample:$id".getBytes("UTF-8"))
+      (d(0) & 0xFF)
+    }
+    (1L to 400L).foreach { id =>
+      val rate = if (id % 2 == 0) 128 else 64
+      assert(kept.contains(id) == (bucket(id) < rate), s"doc $id")
+    }
+    // frozen membership: the same docs survive when the corpus doubles
+    val grown = mix.unionByName((401L to 800L).map(i =>
+      (i, "en", "train", 10L)).toDF("doc_id", "pred_lang", "split", "n_tokens"))
+    val keptGrown = TextOps.weightedSample(grown, "pred_lang",
+      Map("en" -> 128, "de" -> 64)).select("doc_id").as[Long].collect().toSet
+    assert(keptGrown.filter(_ <= 400L) == kept)
+  }
+
+  test("packSequences: offsets are the exact per-(split, stratum) token " +
+    "cumsum in doc_id order; bins advance every binTokens; deterministic " +
+    "under repartition") {
+    val mix = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) "val" else "train", 7L + (i % 5)))
+      .toDF("doc_id", "split", "n_tokens")
+    val packed = TextOps.packSequences(mix, binTokens = 32L, stratumWidth = 50L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+
+    // recompute expectations with plain Scala
+    val expected = (1L to 300L).map { i =>
+      (i, if (i % 3 == 0) "val" else "train", 7L + (i % 5))
+    }.groupBy { case (i, s, _) => (s, i / 50L) }.flatMap {
+      case ((s, stratum), rows) =>
+        var off = 0L
+        rows.sortBy(_._1).map { case (i, _, n) =>
+          val o = off; off += n
+          (i, s, stratum, o, o / 32L, n)
+        }
+    }.toSet
+    assert(packed.toSet == expected)
+
+    val repacked = TextOps.packSequences(mix.repartition(7), 32L, 50L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(repacked.toSet == expected)
+  }
+
   test("langId picks the marker language deterministically") {
     val dir = Files.createTempDirectory("graft-lang").toString
     Seq(
