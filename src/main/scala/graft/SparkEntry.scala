@@ -43,7 +43,7 @@ object SparkEntry {
     * shared by `q_sitemap_frontier` and `q_recrawl_due`.
     */
   private def sitemapFrontier(s: SparkSession, d: String): DataFrame =
-    graft.PlanCache.memo(s, s"sitemap-frontier:$d") {
+    graft.PlanCache.cached(s, s"sitemap-frontier:$d") {
       val (robots, docs) = graft.fixtures.PlantedFixtures.sitemapCorpus(s, d)
       graft.sources.Sitemaps.sitemapFrontier(robots, docs)
     }

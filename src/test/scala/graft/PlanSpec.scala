@@ -91,6 +91,43 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Window"), "fingerprint dedup should be a window")
   }
 
+  test("q_sitemap_frontier: XML parse is scan-stage — shuffles only on the " +
+      "doc key (joins), the url dedup window, and the fixture's corpus " +
+      "grouping; no cartesian, no UDF") {
+    val p = plan("q_sitemap_frontier")
+    val keyed = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning") ||
+        l.contains("Arguments: hashpartitioning") ||
+        l.contains("Arguments: rangepartitioning")).toVector
+    // allowed keys: sitemap_url (the two doc joins), url (first-wins
+    // window), s/c/host + k (PLANTED-CORPUS construction: the urlset
+    // groupBy and the hosts distinct — fixture cost, not operator cost)
+    assert(keyed.nonEmpty && keyed.forall(l =>
+      l.contains("sitemap_url") || l.contains("partitioning(url") ||
+        l.contains("partitioning(s") || l.contains("partitioning(host") ||
+        l.contains("partitioning(k")),
+      s"unexpected shuffle key:\n${keyed.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "no pair-space joins in the frontier feed")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "parse must stay codegen (from_xml is an expression, not a UDF)")
+  }
+
+  test("q_pack_sequences: exactly the two windows shuffle — the mix " +
+      "fingerprint dedup and the (split, stratum) packing cumsum; no join") {
+    val p = plan("q_pack_sequences")
+    val keyed = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning") ||
+        l.contains("Arguments: hashpartitioning") ||
+        l.contains("Arguments: rangepartitioning")).toVector
+    assert(keyed.nonEmpty && keyed.forall(l =>
+      l.contains("partitioning(fp") || l.contains("partitioning(split")),
+      s"expected only the fp and (split, stratum) window exchanges:\n${keyed.mkString("\n")}")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
+
   test("planted near-dup queries: inverted-index joins only — no cartesian, " +
       "no nested-loop, pair space never materializes") {
     // the LSH family over the planted corpora must keep the same scale
