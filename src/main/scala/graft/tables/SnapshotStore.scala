@@ -88,6 +88,55 @@ final class SnapshotStore(val root: String) {
   def readAt(spark: SparkSession, version: Long): Option[DataFrame] =
     readFiles(spark, readSnapshot(version).files)
 
+  /** Incremental scan (the Iceberg append-scan analogue): only the rows
+    * committed AFTER `fromVersion`, up to and including `toVersion` — the
+    * primitive that lets a downstream consumer (index refresh, training-
+    * data ingest) follow a 10^10-row table without ever rescanning it:
+    * each cycle reads the file DELTA of the manifests, not the table.
+    *
+    * Valid only across append history. If any commit in the range REMOVED
+    * files (replace / truncate / compaction rewrote history), the file
+    * diff no longer equals the row delta — that's an error, loudly: the
+    * caller must fall back to a full scan (or consume deltas BEFORE
+    * compacting, which is how `CrawlPipeline`'s auto-compaction is
+    * sequenced). Returns None when the range added no files.
+    */
+  def readBetween(spark: SparkSession, fromVersion: Long,
+      toVersion: Long): Option[DataFrame] = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val fromPaths = readSnapshot(fromVersion).files.map(_.path).toSet
+    val to = readSnapshot(toVersion)
+    val removed = fromPaths -- to.files.map(_.path).toSet
+    require(removed.isEmpty,
+      s"non-append history between v$fromVersion and v$toVersion " +
+        s"(${removed.size} file(s) removed, e.g. ${removed.take(2).mkString(", ")}) " +
+        "— incremental scan invalid, full scan required")
+    readFiles(spark, to.files.filterNot(f => fromPaths(f.path)))
+  }
+
+  /** Per-partition row delta between two snapshots, straight from the
+    * lineage counts in the manifests — no file I/O. The driver-side
+    * companion of [[readBetween]]: a consumer can see WHICH partitions
+    * changed (and by how much) before deciding to scan anything.
+    * Same append-only validity domain; negative deltas (history rewrite)
+    * fail loudly.
+    */
+  def lineageDelta(fromVersion: Long, toVersion: Long): Map[String, Long] = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val from = readSnapshot(fromVersion).lineage
+    val to = readSnapshot(toVersion).lineage
+    val delta = (from.keySet ++ to.keySet).iterator
+      .map(k => k -> (to.getOrElse(k, 0L) - from.getOrElse(k, 0L)))
+      .filter(_._2 != 0L).toMap
+    val negative = delta.filter(_._2 < 0L)
+    require(negative.isEmpty,
+      s"non-append history between v$fromVersion and v$toVersion " +
+        s"(partitions shrank: ${negative.keys.take(3).mkString(", ")})")
+    delta
+  }
+
   /** Read the current table state (union of all committed data files).
     * Files are grouped by commit and read with that commit's `basePath` so
     * the partition column (encoded in `<col>=<value>` directory names) is

@@ -32,6 +32,37 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(store.read(spark).get.count() == 2)
   }
 
+  test("incremental scan: readBetween returns exactly the appended delta; " +
+      "lineageDelta names the changed partitions without file I/O; " +
+      "history rewrites fail loudly") {
+    val root = tmp()
+    val store = new SnapshotStore(root)
+    store.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "pk"), "pk") // v0
+    store.append(spark, Seq((3L, "a")).toDF("id", "pk"), "pk") // v1
+    store.append(spark, Seq((4L, "c"), (5L, "a")).toDF("id", "pk"), "pk") // v2
+
+    // delta of (v0, v2] = commits 1 and 2 only
+    assert(store.readBetween(spark, 0L, 2L).get
+      .select("id").as[Long].collect().toSet == Set(3L, 4L, 5L))
+    assert(store.readBetween(spark, 1L, 2L).get
+      .select("id").as[Long].collect().toSet == Set(4L, 5L))
+    // empty range → no files → None
+    assert(store.readBetween(spark, 2L, 2L).isEmpty)
+    // driver-side partition delta straight from the manifests
+    assert(store.lineageDelta(0L, 2L) == Map("a" -> 2L, "c" -> 1L))
+    assert(store.lineageDelta(2L, 2L) == Map.empty)
+
+    // a replace rewrites history: both incremental forms must refuse
+    store.replace(spark, Seq((9L, "a")).toDF("id", "pk"), "pk") // v3
+    intercept[IllegalArgumentException](store.readBetween(spark, 2L, 3L))
+    intercept[IllegalArgumentException](store.lineageDelta(2L, 3L))
+    // ...but deltas across the post-replace epoch work again
+    store.append(spark, Seq((10L, "b")).toDF("id", "pk"), "pk") // v4
+    assert(store.readBetween(spark, 3L, 4L).get
+      .select("id").as[Long].collect().toSet == Set(10L))
+    assert(store.lineageDelta(3L, 4L) == Map("b" -> 1L))
+  }
+
   test("append → read returns committed rows with lineage + metrics") {
     val root = tmp()
     val store = new SnapshotStore(root)
