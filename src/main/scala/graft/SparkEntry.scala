@@ -48,6 +48,27 @@ object SparkEntry {
       graft.sources.Sitemaps.sitemapFrontier(robots, docs)
     }
 
+  /** The planted recrawl fetch-state over the sitemap frontier, shared by
+    * `q_recrawl_due` and `q_crawl_budget`: k%3 regimes (never fetched /
+    * fetched day 18802+ / fetched day 18400+), changefreq overridden to
+    * `never` for k%17 = 0.
+    */
+  private def recrawlState(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val k = regexp_extract(col("url"), "/p/(\\d+)", 1).cast("long")
+    sitemapFrontier(s, d)
+      .withColumn("k", k)
+      .withColumn("changefreq",
+        when(pmod(col("k"), lit(17)) === 0, lit("never"))
+          .otherwise(col("changefreq")))
+      .withColumn("last_fetch_day",
+        when(pmod(col("k"), lit(3)) === 1,
+          lit(18802L) + pmod(col("k") * 37, lit(60)))
+          .when(pmod(col("k"), lit(3)) === 2,
+            lit(18400L) + pmod(col("k") * 37, lit(60))))
+      .drop("k")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- crawl frontier operators (SURVEY §2.2/2.3/2.5/2.6/2.9) ----
     "q_canonicalize" -> ((s, d) => CrawlOps.canonicalized(s, d)
@@ -354,22 +375,16 @@ object SparkEntry {
     // freshness scheduling over that frontier: planted last-fetch regimes
     // (never / recent / old) + a `never`-changefreq override, day-granular
     // intervals, lastmod-evidence override, per-host budget of 5
-    "q_recrawl_due" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val k = regexp_extract(col("url"), "/p/(\\d+)", 1).cast("long")
-      val withState = sitemapFrontier(s, d)
-        .withColumn("k", k)
-        .withColumn("changefreq",
-          when(pmod(col("k"), lit(17)) === 0, lit("never"))
-            .otherwise(col("changefreq")))
-        .withColumn("last_fetch_day",
-          when(pmod(col("k"), lit(3)) === 1,
-            lit(18802L) + pmod(col("k") * 37, lit(60)))
-            .when(pmod(col("k"), lit(3)) === 2,
-              lit(18400L) + pmod(col("k") * 37, lit(60))))
-        .drop("k")
-      graft.frontier.Recrawl.due(withState, nowDay = 18862L, perHostBudget = 5)
-    }),
+    "q_recrawl_due" -> ((s, d) =>
+      graft.frontier.Recrawl.due(recrawlState(s, d),
+        nowDay = 18862L, perHostBudget = 5)),
+    // global-budget apportionment above the per-host queues: the full due
+    // set (unbounded per-host) → count per host → largest-remainder split
+    // of a 100-fetch cycle budget with a 20-per-host politeness cap
+    "q_crawl_budget" -> ((s, d) => graft.frontier.Recrawl.allocateBudget(
+      graft.frontier.Recrawl.due(recrawlState(s, d),
+        nowDay = 18862L, perHostBudget = Int.MaxValue),
+      globalBudget = 100L, perHostCap = 20L)),
     // ---- normalize-stage scalar functions (SURVEY §2.8) ----
     "q_slugify" -> ((s, d) => NormOps.slugify(s, d)),
     "q_openscad_dims" -> ((s, d) => NormOps.openscadDims(s, d)),
@@ -782,6 +797,40 @@ object SparkEntry {
       |         ELSE 'train' END AS split,
       |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
       |  FROM b)""".stripMargin
+
+  /** Shared oracle prelude for the recrawl family: the planted sitemap
+    * frontier + fetch state + due rule as DuckDB CTEs ending in
+    * `d(host, url, …, is_due)` — the base `q_recrawl_due` and
+    * `q_crawl_budget` extend. Mirrors `recrawlState` + `Recrawl.due`'s
+    * due rule exactly.
+    */
+  private val RecrawlCte: String =
+    """WITH f AS (
+      |  SELECT
+      |    'site' || (p_partkey % 8) || '.example' AS host,
+      |    'https://site' || (p_partkey % 8) || '.example/p/' || p_partkey ||
+      |      CASE WHEN p_partkey % 11 = 0 THEN '?a=1&b=2' ELSE '' END AS url,
+      |    CASE WHEN p_partkey % 5 <> 0 THEN 18262 + p_partkey % 365 END AS lastmod_day,
+      |    CASE WHEN p_partkey % 17 = 0 THEN 'never'
+      |      ELSE CASE p_partkey % 4 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+      |        WHEN 2 THEN 'monthly' END END AS changefreq,
+      |    CASE WHEN p_partkey % 7 <> 0
+      |      THEN CAST((p_partkey % 10) * 100 AS BIGINT) END AS priority_permille,
+      |    CASE WHEN p_partkey % 3 = 1 THEN 18802 + (p_partkey * 37) % 60
+      |      WHEN p_partkey % 3 = 2 THEN 18400 + (p_partkey * 37) % 60
+      |    END AS last_fetch_day
+      |  FROM part),
+      |d AS (
+      |  SELECT *,
+      |    CASE WHEN last_fetch_day IS NULL THEN TRUE
+      |      WHEN lastmod_day IS NOT NULL AND lastmod_day > last_fetch_day THEN TRUE
+      |      WHEN changefreq = 'never' THEN FALSE
+      |      ELSE 18862 - last_fetch_day >=
+      |        CASE changefreq WHEN 'always' THEN 0 WHEN 'hourly' THEN 0
+      |          WHEN 'daily' THEN 1 WHEN 'weekly' THEN 7 WHEN 'monthly' THEN 30
+      |          WHEN 'yearly' THEN 365 ELSE 7 END
+      |    END AS is_due
+      |  FROM f)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // deterministic weighted downsample: keep iff the salted 256-bucket
@@ -1627,33 +1676,8 @@ object SparkEntry {
     // 18400+), changefreq overridden to 'never' for k%17=0, now = 18862,
     // per-host budget 5. Due rule and ranking restated verbatim from
     // frontier/Recrawl.scala
-    "q_recrawl_due" ->
-      """WITH f AS (
-        |  SELECT
-        |    'site' || (p_partkey % 8) || '.example' AS host,
-        |    'https://site' || (p_partkey % 8) || '.example/p/' || p_partkey ||
-        |      CASE WHEN p_partkey % 11 = 0 THEN '?a=1&b=2' ELSE '' END AS url,
-        |    CASE WHEN p_partkey % 5 <> 0 THEN 18262 + p_partkey % 365 END AS lastmod_day,
-        |    CASE WHEN p_partkey % 17 = 0 THEN 'never'
-        |      ELSE CASE p_partkey % 4 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
-        |        WHEN 2 THEN 'monthly' END END AS changefreq,
-        |    CASE WHEN p_partkey % 7 <> 0
-        |      THEN CAST((p_partkey % 10) * 100 AS BIGINT) END AS priority_permille,
-        |    CASE WHEN p_partkey % 3 = 1 THEN 18802 + (p_partkey * 37) % 60
-        |      WHEN p_partkey % 3 = 2 THEN 18400 + (p_partkey * 37) % 60
-        |    END AS last_fetch_day
-        |  FROM part),
-        |d AS (
-        |  SELECT *,
-        |    CASE WHEN last_fetch_day IS NULL THEN TRUE
-        |      WHEN lastmod_day IS NOT NULL AND lastmod_day > last_fetch_day THEN TRUE
-        |      WHEN changefreq = 'never' THEN FALSE
-        |      ELSE 18862 - last_fetch_day >=
-        |        CASE changefreq WHEN 'always' THEN 0 WHEN 'hourly' THEN 0
-        |          WHEN 'daily' THEN 1 WHEN 'weekly' THEN 7 WHEN 'monthly' THEN 30
-        |          WHEN 'yearly' THEN 365 ELSE 7 END
-        |    END AS is_due
-        |  FROM f),
+    "q_recrawl_due" -> (RecrawlCte +
+      """,
         |r AS (
         |  SELECT host, url, changefreq, priority_permille,
         |    CAST(18862 - last_fetch_day AS BIGINT) AS staleness_days,
@@ -1662,7 +1686,34 @@ object SparkEntry {
         |      18862 - coalesce(last_fetch_day, -1) DESC, url) AS fetch_pos
         |  FROM d WHERE is_due)
         |SELECT host, url, changefreq, priority_permille, staleness_days, fetch_pos
-        |FROM r WHERE fetch_pos <= 5""".stripMargin,
+        |FROM r WHERE fetch_pos <= 5""".stripMargin),
+    // global-budget apportionment: the unbounded due set counted per host,
+    // demand capped at 20, Hamilton largest-remainder split of 100 seats
+    // (remainder ties → smaller host string), restated from
+    // frontier/Recrawl.allocateBudget
+    "q_crawl_budget" -> (RecrawlCte +
+      """,
+        |c AS (
+        |  SELECT host, CAST(count(*) AS BIGINT) AS due_count
+        |  FROM d WHERE is_due GROUP BY host),
+        |dd AS (SELECT host, due_count, least(due_count, 20) AS demand FROM c),
+        |t AS (SELECT sum(demand) AS total FROM dd),
+        |b AS (
+        |  SELECT host, due_count, demand, total,
+        |    CASE WHEN total <= 100 THEN demand
+        |      ELSE 100 * demand // total END AS base,
+        |    CASE WHEN total <= 100 THEN 0
+        |      ELSE (100 * demand) % total END AS rem
+        |  FROM dd, t),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rk,
+        |    CASE WHEN total <= 100 THEN 0
+        |      ELSE 100 - sum(base) OVER () END AS leftover
+        |  FROM b)
+        |SELECT host, due_count,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS allocated
+        |FROM r""".stripMargin),
     // the crawl e2e fetch log is closed-form: unit_path/hosting from the
     // id residue (six families), status/retries from the outcome residues
     // (precedence robots %103 → not_found %101 → transient-ok %97 →

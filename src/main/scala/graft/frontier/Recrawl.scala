@@ -74,4 +74,55 @@ object Recrawl {
       .select(col("host"), col("url"), col("changefreq"),
         col("priority_permille"), col("staleness_days"), col("fetch_pos"))
   }
+
+  /** Apportion a GLOBAL fetch budget across hosts by their due-URL counts
+    * — the scheduling decision above the per-host politeness queues: a
+    * crawl cycle can afford `globalBudget` fetches total, each host
+    * deserves a share proportional to its backlog, and no host may get
+    * more than `perHostCap` (its politeness ceiling for the cycle).
+    *
+    * Largest-remainder (Hamilton) apportionment over the CAPPED demand
+    * `min(due, cap)`, fully deterministic: if total demand fits the
+    * budget everyone gets their demand; otherwise base share =
+    * floor(budget × demand/total) and the leftover seats go to the
+    * largest remainders (ties → smaller host string). Because every
+    * grant is bounded by its own demand, one pass is exact — no
+    * iterate-to-fixpoint. The apportionment runs on the DRIVER over the
+    * per-host aggregate (hosts ≪ URLs — thousands of rows at 10^10
+    * URLs); the frontier itself is touched by exactly one count-by-host
+    * aggregation.
+    *
+    * Input: any frame with a `host` column (one row per due URL).
+    * Output: (host, due_count, allocated) — allocated sums to
+    * min(globalBudget, Σ min(due, cap)).
+    */
+  def allocateBudget(due: DataFrame, globalBudget: Long,
+      perHostCap: Long = Long.MaxValue): DataFrame = {
+    require(globalBudget >= 0 && perHostCap >= 1, "nonnegative budget, cap >= 1")
+    val spark = due.sparkSession
+    import spark.implicits._
+    // ONE aggregation over the frontier; everything after is driver math
+    val counts = due.groupBy(col("host"))
+      .agg(count(lit(1)).as("due_count"))
+      .as[(String, Long)].collect().sortBy(_._1)
+
+    val demands = counts.map { case (h, n) => (h, math.min(n, perHostCap)) }
+    val total = demands.map(_._2).sum
+    val alloc: Map[String, Long] =
+      if (total <= globalBudget) demands.toMap
+      else {
+        // BigInt product: budget × demand can exceed Long at 10^10 scale
+        val base = demands.map { case (h, d) =>
+          val prod = BigInt(globalBudget) * d
+          (h, (prod / total).toLong, (prod % total).toLong)
+        }
+        val leftover = globalBudget - base.map(_._2).sum
+        val bonus = base.sortBy { case (h, _, rem) => (-rem, h) }
+          .take(leftover.toInt).map(_._1).toSet
+        base.map { case (h, b, _) => h -> (b + (if (bonus(h)) 1L else 0L)) }.toMap
+      }
+    counts.toSeq.toDF("host", "due_count")
+      .withColumn("allocated",
+        coalesce(typedlit(alloc).apply(col("host")), lit(0L)))
+  }
 }

@@ -60,6 +60,23 @@ class RecrawlSpec extends SparkTestBase {
       ("b", "u/other", 1L, Some(2L))))
   }
 
+  test("allocateBudget: whole demands when they fit; largest-remainder split " +
+    "with per-host cap otherwise, remainder ties by host string") {
+    val due = (List.fill(5)("a") ++ List.fill(10)("b") ++ List.fill(50)("c"))
+      .toDF("host")
+    // demand (cap 20): a=5, b=10, c=20; total 35 ≤ 100 → everyone whole
+    val fits = Recrawl.allocateBudget(due, globalBudget = 100L, perHostCap = 20L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(fits == Set(("a", 5L, 5L), ("b", 10L, 10L), ("c", 50L, 20L)))
+    // budget 18 < 35: base floor(18·d/35) = a 2, b 5, c 10 (sum 17);
+    // remainders 20/5/10 → the 1 leftover seat goes to a
+    val tight = Recrawl.allocateBudget(due, globalBudget = 18L, perHostCap = 20L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(tight == Set(("a", 5L, 3L), ("b", 10L, 5L), ("c", 50L, 10L)))
+    // allocation is exhaustive: sums to the budget exactly
+    assert(tight.toSeq.map(_._3).sum == 18L)
+  }
+
   test("sitemap → recrawl → fetch stage: the due ranking IS the politeness " +
     "order, and the schedule honors the per-host interval") {
     val (robots, docs) =
