@@ -69,6 +69,13 @@ object SparkEntry {
       .drop("k")
   }
 
+  /** The assembled training mix, persisted per (session, sfDir) — shared
+    * by `q_training_mix`, `q_corpus_sample` and `q_pack_sequences` so its
+    * gates + fingerprint-window pipeline executes once per run.
+    */
+  private def trainingMixCached(s: SparkSession, d: String): DataFrame =
+    graft.PlanCache.cached(s, s"training-mix:$d")(TextOps.trainingMix(s, d))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- crawl frontier operators (SURVEY §2.2/2.3/2.5/2.6/2.9) ----
     "q_canonicalize" -> ((s, d) => CrawlOps.canonicalized(s, d)
@@ -248,17 +255,19 @@ object SparkEntry {
     // capstone training-data composition: quality gate ∘ language gate ∘
     // fingerprint dedup ∘ deterministic md5 train/val/test split — one
     // shuffle total (the fingerprint window over gate survivors)
-    "q_training_mix" -> ((s, d) => TextOps.trainingMix(s, d)),
+    "q_training_mix" -> ((s, d) => trainingMixCached(s, d)),
     // deterministic language-rebalancing downsample over the assembled
-    // mix: en kept whole, de halved, fr quartered, es eighth'd, anything
-    // else dropped — membership frozen by the salted content hash
+    // mix: en HALVED (the synthetic corpus is ~all-en, so the gate must
+    // actually drop rows in both engines — a 256 rate would never
+    // exercise the filter), de/fr/es scaled down, anything else dropped —
+    // membership frozen by the salted content hash
     "q_corpus_sample" -> ((s, d) => TextOps.weightedSample(
-      TextOps.trainingMix(s, d), "pred_lang",
-      Map("en" -> 256, "de" -> 128, "fr" -> 64, "es" -> 32))
+      trainingMixCached(s, d), "pred_lang",
+      Map("en" -> 128, "de" -> 64, "fr" -> 32, "es" -> 16))
       .select("doc_id", "pred_lang", "split", "n_tokens", "sample_bucket")),
     // stratified sequence packing of the mix into 2048-token bins
     "q_pack_sequences" -> ((s, d) =>
-      TextOps.packSequences(TextOps.trainingMix(s, d))),
+      TextOps.packSequences(trainingMixCached(s, d))),
     "q_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccard(s, d)),
     // ---- planted-duplicate corpora (fixtures/PlantedFixtures): the
     // LSH/simhash family runs over documents whose near-dup pairs exist by
@@ -382,8 +391,7 @@ object SparkEntry {
     // set (unbounded per-host) → count per host → largest-remainder split
     // of a 100-fetch cycle budget with a 20-per-host politeness cap
     "q_crawl_budget" -> ((s, d) => graft.frontier.Recrawl.allocateBudget(
-      graft.frontier.Recrawl.due(recrawlState(s, d),
-        nowDay = 18862L, perHostBudget = Int.MaxValue),
+      graft.frontier.Recrawl.dueSet(recrawlState(s, d), nowDay = 18862L),
       globalBudget = 100L, perHostCap = 20L)),
     // ---- normalize-stage scalar functions (SURVEY §2.8) ----
     "q_slugify" -> ((s, d) => NormOps.slugify(s, d)),
@@ -848,8 +856,8 @@ object SparkEntry {
         |SELECT doc_id, pred_lang, split, n_tokens, sample_bucket
         |FROM samp
         |WHERE sample_bucket < CASE pred_lang
-        |  WHEN 'en' THEN 256 WHEN 'de' THEN 128 WHEN 'fr' THEN 64
-        |  WHEN 'es' THEN 32 ELSE 0 END""".stripMargin),
+        |  WHEN 'en' THEN 128 WHEN 'de' THEN 64 WHEN 'fr' THEN 32
+        |  WHEN 'es' THEN 16 ELSE 0 END""".stripMargin),
     // stratified sequence packing: per-(split, stratum) token cumsum in
     // doc_id order → start offset and 2048-token bin per document
     "q_pack_sequences" -> (MixCte +

@@ -51,7 +51,12 @@ object Recrawl {
     * scan stage before it. At 10^10 rows the window ranks only the due
     * subset, and the budget cap bounds the output to hosts × budget.
     */
-  def due(frontier: DataFrame, nowDay: Long, perHostBudget: Int): DataFrame = {
+  /** Just the due FILTER (rule 1–4 above) with no ranking — the scan-stage
+    * predicate form for consumers that only need the due set (e.g. the
+    * budget apportionment's count-by-host), where paying [[due]]'s
+    * per-host sort window would be waste.
+    */
+  def dueSet(frontier: DataFrame, nowDay: Long): DataFrame = {
     val interval = coalesce(
       element_at(typedlit(IntervalDays), col("changefreq")),
       lit(DefaultIntervalDays))
@@ -60,14 +65,16 @@ object Recrawl {
         col("lastmod_day") > col("last_fetch_day"), lit(true))
       .when(col("changefreq") === "never", lit(false))
       .otherwise(lit(nowDay) - col("last_fetch_day") >= interval)
+    frontier.filter(isDue)
+  }
 
+  def due(frontier: DataFrame, nowDay: Long, perHostBudget: Int): DataFrame = {
     val order = Window.partitionBy(col("host")).orderBy(
       coalesce(col("priority_permille"), lit(500L)).desc,
       (lit(nowDay) - coalesce(col("last_fetch_day"), lit(-1L))).desc,
       col("url").asc)
 
-    frontier
-      .filter(isDue)
+    dueSet(frontier, nowDay)
       .withColumn("staleness_days", lit(nowDay) - col("last_fetch_day"))
       .withColumn("fetch_pos", row_number().over(order).cast("long"))
       .filter(col("fetch_pos") <= perHostBudget)
@@ -121,8 +128,7 @@ object Recrawl {
           .take(leftover.toInt).map(_._1).toSet
         base.map { case (h, b, _) => h -> (b + (if (bonus(h)) 1L else 0L)) }.toMap
       }
-    counts.toSeq.toDF("host", "due_count")
-      .withColumn("allocated",
-        coalesce(typedlit(alloc).apply(col("host")), lit(0L)))
+    counts.map { case (h, n) => (h, n, alloc.getOrElse(h, 0L)) }.toSeq
+      .toDF("host", "due_count", "allocated")
   }
 }

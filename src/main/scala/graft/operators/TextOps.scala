@@ -155,9 +155,7 @@ object TextOps {
     val t = col("text")
     val nChars = length(t).cast("long")
     val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
-    val hexPos = (c: Column) => instr(lit("0123456789abcdef"), c) - 1
-    val h = md5(concat(lit("split:"), col("doc_id").cast("string")))
-    val bucket = hexPos(substring(h, 1, 1)) * 16 + hexPos(substring(h, 2, 1))
+    val bucket = md5Bucket256("split:", col("doc_id"))
     docsDf
       .withColumn("n_chars_m", nChars)
       .withColumn("alpha_permille", floor(alpha * 1000.0 / nChars).cast("long"))
@@ -586,6 +584,17 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** The engine-portable 256-bucket content hash shared by the split and
+    * sampling decisions: the first two hex digits of `md5(salt || id)` —
+    * restated in DuckDB as strpos arithmetic on the same digits. Distinct
+    * salts make the decisions independent coins.
+    */
+  private def md5Bucket256(salt: String, id: Column): Column = {
+    val hexPos = (c: Column) => instr(lit("0123456789abcdef"), c) - 1
+    val h = md5(concat(lit(salt), id.cast("string")))
+    hexPos(substring(h, 1, 1)) * 16 + hexPos(substring(h, 2, 1))
+  }
+
   /** Deterministic weighted downsampling for corpus rebalancing (the
     * language/domain-mixture step of a training-data pipeline): each row
     * is kept iff its stable 256-bucket content hash falls below the
@@ -604,9 +613,7 @@ object TextOps {
       rates256: Map[String, Int], defaultRate256: Int = 0): DataFrame = {
     require((defaultRate256 +: rates256.values.toSeq)
       .forall(r => r >= 0 && r <= 256), "rates are /256 in [0, 256]")
-    val hexPos = (c: Column) => instr(lit("0123456789abcdef"), c) - 1
-    val h = md5(concat(lit("sample:"), col("doc_id").cast("string")))
-    val bucket = hexPos(substring(h, 1, 1)) * 16 + hexPos(substring(h, 2, 1))
+    val bucket = md5Bucket256("sample:", col("doc_id"))
     val rate = coalesce(
       element_at(typedlit(rates256.view.mapValues(_.toLong).toMap),
         col(groupCol)),

@@ -176,5 +176,7 @@ object Sitemaps {
       .withColumn("rn", row_number().over(firstWins))
       .filter(col("rn") === 1)
       .drop("rn")
+      .select(col("host"), col("url"), col("lastmod_day"), col("changefreq"),
+        col("priority_permille"), col("sitemap_url"))
   }
 }
