@@ -131,6 +131,54 @@ object EventStream {
       }
   }
 
+  /** One frontier row from a streamed sitemap document (the batch
+    * `Sitemaps.sitemapFrontier` row shape).
+    */
+  final case class SitemapUrlRow(host: String, url: String,
+      lastmod_day: Option[Long], changefreq: Option[String],
+      priority_permille: Option[Long], sitemap_url: String)
+
+  /** Stateless streaming projection of the sitemap feed: `Sitemaps.parse`
+    * applied verbatim to a stream of fetched documents (host,
+    * sitemap_url, xml) — `from_xml` and the field normalizations are pure
+    * expressions, so the SAME code parses both paths. Index documents
+    * yield no url rows here: in a streaming world child-sitemap discovery
+    * is the fetch layer's job (a discovered child is just another
+    * document arriving later), where the batch path joins instead.
+    */
+  def withSitemapEntries(docsStream: DataFrame): Dataset[SitemapUrlRow] = {
+    import docsStream.sparkSession.implicits._
+    graft.sources.Sitemaps.parse(docsStream)
+      .filter(col("kind") === "url")
+      .select(col("host"), col("url"), col("lastmod_day"), col("changefreq"),
+        col("priority_permille"), col("sitemap_url"))
+      .as[SitemapUrlRow]
+  }
+
+  /** Streaming twin of the frontier's per-URL dedup: first-wins per url
+    * across micro-batches (within a batch: smallest sitemap_url, the
+    * batch tie-break). The batch path keeps the freshest-lastmod row
+    * instead — over a corpus where one URL may be listed by SEVERAL
+    * sitemaps with identical fields (the common duplicate-route case, and
+    * the planted corpus by construction) the two rules pick identical
+    * rows, which the spec pins; under genuinely divergent metadata the
+    * streaming feed favors arrival order, a documented difference.
+    */
+  def streamingSitemapDedup(entries: Dataset[SitemapUrlRow]): Dataset[SitemapUrlRow] = {
+    import entries.sparkSession.implicits._
+    entries
+      .groupByKey(_.url)
+      .flatMapGroupsWithState[Boolean, SitemapUrlRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // url emitted in a prior batch
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_.sitemap_url))
+          }
+      }
+  }
+
   /** Incremental frontier ingestion: streaming discovery → stateful
     * URL-seen dedup → snapshot-store commits per micro-batch (foreachBatch
     * = the streaming twin of `CrawlPipeline.run`'s slice loop; the store's

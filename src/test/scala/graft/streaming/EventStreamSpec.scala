@@ -9,6 +9,52 @@ import graft.SparkTestBase
 class EventStreamSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("streaming sitemap feed: the streamed parse + cross-batch URL dedup " +
+      "over the planted corpus equals the batch sitemapFrontier row set " +
+      "(duplicate-route docs arrive in DIFFERENT batches)") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val (robots, docs) =
+      graft.fixtures.PlantedFixtures.sitemapCorpus(spark, sfDir)
+
+    // the documents each batch-path level parses, fed as two micro-batches:
+    // level 0 (index docs + the hosts>=4 DIRECT sm_0 refs) first, the
+    // index-discovered children second — so the duplicated sm_0 content
+    // crosses the batch boundary and the stateful dedup must catch it
+    val level0 = graft.sources.Sitemaps.sitemapRefs(robots).join(docs, "sitemap_url")
+    val children = graft.sources.Sitemaps.parse(level0)
+      .filter(col("kind") === "sitemap")
+      .select(col("url").as("sitemap_url"), col("host"))
+    val level1 = children.join(docs, "sitemap_url")
+    def docRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("host", "sitemap_url", "xml").as[(String, String, String)]
+      .collect().toSeq
+
+    val input = MemoryStream[(String, String, String)]
+    val entries = EventStream.withSitemapEntries(
+      input.toDS().toDF("host", "sitemap_url", "xml"))
+    val q = EventStream.streamingSitemapDedup(entries)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sitemap_stream_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-sitemap").toString)
+      .start()
+    input.addData(docRows(level0): _*)
+    q.processAllAvailable()
+    input.addData(docRows(level1): _*)
+    q.processAllAvailable()
+    val got = spark.table("sitemap_stream_out")
+      .as[EventStream.SitemapUrlRow].collect().toSet
+    q.stop()
+
+    val batch = graft.sources.Sitemaps.sitemapFrontier(robots, docs)
+      .as[EventStream.SitemapUrlRow].collect().toSet
+    assert(got.size == got.map(_.url).size, "streaming emitted a url twice")
+    assert(got == batch,
+      s"streaming-batch row-set mismatch: ${(got diff batch).take(3)} / ${(batch diff got).take(3)}")
+  }
+
   test("windowed agg over a streamed batch equals the batch twin (SURVEY §2.10)") {
     val sfDir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
