@@ -95,6 +95,38 @@ object Sitemaps {
   private def rootTag(c: Column): Column =
     regexp_extract(c, "<\\s*([A-Za-z][A-Za-z0-9]*)", 1)
 
+  /** Decode fetched sitemap BYTES to the text `parse` consumes: documents
+    * whose payload starts with the gzip magic (0x1f 0x8b) are gunzipped
+    * (the protocol explicitly allows .xml.gz, and large sites ship
+    * nothing else); everything else is read as UTF-8. The UDF runs once
+    * per DOCUMENT (≤ 50k URLs each) — never per URL — so it is off the
+    * row hot path; a corrupt gzip stream yields null (a skipped doc),
+    * never a task failure.
+    */
+  val gunzipUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { bytes: Array[Byte] =>
+      if (bytes == null) null
+      else if (bytes.length >= 2 &&
+        (bytes(0) & 0xFF) == 0x1f && (bytes(1) & 0xFF) == 0x8b) {
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } catch { case _: java.io.IOException => null }
+      } else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+  /** (…, bytesCol) → (…, xml): the byte-payload adapter in front of
+    * [[parse]] for stores that keep fetched bodies as binary.
+    */
+  def decodeDocs(docs: DataFrame, bytesCol: String = "bytes",
+      xmlCol: String = "xml"): DataFrame =
+    docs.withColumn(xmlCol, gunzipUdf(col(bytesCol))).drop(bytesCol)
+
   /** Parse a table of fetched sitemap documents (`urlCol` = the sitemap's
     * own URL, `xmlCol` = its body) into one row per child entry:
     *

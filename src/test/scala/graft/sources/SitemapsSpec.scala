@@ -93,6 +93,43 @@ class SitemapsSpec extends SparkTestBase {
       "closed-form rows missing")
   }
 
+  test("decodeDocs: gzip magic → gunzip, plain bytes → UTF-8, corrupt gzip → " +
+    "null doc (skipped, never a task failure)") {
+    val xml = "<urlset><url><loc>https://h/p/1</loc></url></urlset>"
+    val gz = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(xml.getBytes("UTF-8")); g.close()
+      bo.toByteArray
+    }
+    val corrupt = gz.take(8) ++ Array.fill[Byte](4)(0x7) // magic intact, body broken
+    val docs = Seq(
+      ("https://h/sm.xml.gz", gz),
+      ("https://h/sm.xml", xml.getBytes("UTF-8")),
+      ("https://h/broken.xml.gz", corrupt))
+      .toDF("sitemap_url", "bytes")
+    val out = Sitemaps.parse(Sitemaps.decodeDocs(docs))
+      .select("sitemap_url", "url").as[(String, String)].collect().toSet
+    // both readable routes parse to the same entry; the corrupt doc is absent
+    assert(out == Set(
+      ("https://h/sm.xml.gz", "https://h/p/1"),
+      ("https://h/sm.xml", "https://h/p/1")))
+  }
+
+  test("parse survives malformed XML: truncated, non-XML, empty, wrong " +
+    "nesting — bad docs yield no rows, good docs in the same frame still parse") {
+    val good = "<urlset><url><loc>https://h/p/9</loc></url></urlset>"
+    val docs = Seq(
+      ("t", "<urlset><url><loc>https://h/p/1</loc>"), // truncated
+      ("n", "this is not xml at all"),
+      ("e", ""),
+      ("w", "<urlset><sitemap><loc>https://h/x.xml</loc></sitemap></urlset>"),
+      ("g", good)).toDF("sitemap_url", "xml")
+    val out = Sitemaps.parse(docs).select("sitemap_url", "url")
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("g", "https://h/p/9")))
+  }
+
   test("frontier plan: parse fuses into the scan; only join + dedup shuffles") {
     val (robots, docs) = PlantedFixtures.sitemapCorpus(spark, sfDir)
     val plan = Sitemaps.sitemapFrontier(robots, docs)
