@@ -95,13 +95,18 @@ object Sitemaps {
   private def rootTag(c: Column): Column =
     regexp_extract(c, "<\\s*([A-Za-z][A-Za-z0-9]*)", 1)
 
+  /** The sitemap protocol's 50 MB uncompressed-size cap — also the gzip
+    * BOMB guard: decompression stops (→ null doc) the moment a payload
+    * inflates past it, so a hostile 1000:1 archive can never OOM a task.
+    */
+  val MaxUncompressedBytes: Int = 50 * 1024 * 1024
+
   /** Decode fetched sitemap BYTES to the text `parse` consumes: documents
     * whose payload starts with the gzip magic (0x1f 0x8b) are gunzipped
     * (the protocol explicitly allows .xml.gz, and large sites ship
-    * nothing else); everything else is read as UTF-8. The UDF runs once
-    * per DOCUMENT (≤ 50k URLs each) — never per URL — so it is off the
-    * row hot path; a corrupt gzip stream yields null (a skipped doc),
-    * never a task failure.
+    * nothing else); everything else is read as UTF-8. Corrupt streams and
+    * payloads inflating past [[MaxUncompressedBytes]] yield null (a
+    * skipped doc), never a task failure.
     */
   val gunzipUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { bytes: Array[Byte] =>
@@ -114,18 +119,28 @@ object Sitemaps {
           val out = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](8192)
           var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-          new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+          while (n >= 0 && out.size() <= MaxUncompressedBytes) {
+            out.write(buf, 0, n); n = in.read(buf)
+          }
+          if (out.size() > MaxUncompressedBytes) null // bomb — skip the doc
+          else new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
         } catch { case _: java.io.IOException => null }
       } else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     }
 
   /** (…, bytesCol) → (…, xml): the byte-payload adapter in front of
-    * [[parse]] for stores that keep fetched bodies as binary.
+    * [[parse]] for stores that keep fetched bodies as binary. The decode
+    * is flagged nondeterministic — a WHITE LIE (it is a pure function)
+    * whose sole purpose is to pin evaluation to exactly once per
+    * document: Catalyst inlines deterministic projections into every
+    * downstream reference (the root classifier, the from_xml branches, a
+    * pushed filter), which would re-gunzip a 50 MB document several
+    * times. Nondeterministic expressions are never collapsed or pushed.
     */
   def decodeDocs(docs: DataFrame, bytesCol: String = "bytes",
       xmlCol: String = "xml"): DataFrame =
-    docs.withColumn(xmlCol, gunzipUdf(col(bytesCol))).drop(bytesCol)
+    docs.withColumn(xmlCol, gunzipUdf.asNondeterministic()(col(bytesCol)))
+      .drop(bytesCol)
 
   /** Parse a table of fetched sitemap documents (`urlCol` = the sitemap's
     * own URL, `xmlCol` = its body) into one row per child entry:
@@ -147,25 +162,32 @@ object Sitemaps {
     val root = rootTag(col(xmlCol))
     val keep = docs.columns.filterNot(_ == xmlCol).map(col)
 
-    val urlRows = docs.filter(root === "urlset")
-      .select(keep :+ inline_outer(from_xml(col(xmlCol), UrlsetSchema)("url")): _*)
-      .select(keep ++ Seq(
-        lit("url").as("kind"),
-        trim(col("loc")).as("url"),
-        lastmodDay(col("lastmod")).as("lastmod_day"),
-        changefreqNorm(col("changefreq")).as("changefreq"),
-        priorityPermille(col("priority")).as("priority_permille")): _*)
+    // ONE scan: both root flavors map to a unified entry array in a single
+    // projection (a two-branch filter+union would re-scan the source — and
+    // re-run any upstream per-document decode — once per branch). `when`
+    // evaluates lazily, so each document pays exactly one from_xml.
+    val asEntry = (kind: String, e: Column, cf: Column, pr: Column) => struct(
+      lit(kind).as("kind"), e.getField("loc").as("loc"),
+      e.getField("lastmod").as("lastmod"), cf.as("changefreq"),
+      pr.as("priority"))
+    val entries =
+      when(root === "urlset",
+        transform(from_xml(col(xmlCol), UrlsetSchema)("url"),
+          e => asEntry("url", e, e.getField("changefreq"), e.getField("priority"))))
+        .when(root === "sitemapindex",
+          transform(from_xml(col(xmlCol), IndexSchema)("sitemap"),
+            e => asEntry("sitemap", e, lit(null).cast("string"),
+              lit(null).cast("string"))))
 
-    val indexRows = docs.filter(root === "sitemapindex")
-      .select(keep :+ inline_outer(from_xml(col(xmlCol), IndexSchema)("sitemap")): _*)
+    docs
+      .select(keep :+ explode(entries).as("e"): _*)
       .select(keep ++ Seq(
-        lit("sitemap").as("kind"),
-        trim(col("loc")).as("url"),
-        lastmodDay(col("lastmod")).as("lastmod_day"),
-        lit(null).cast("string").as("changefreq"),
-        lit(null).cast("long").as("priority_permille")): _*)
-
-    urlRows.unionByName(indexRows).filter(col("url").isNotNull && col("url") =!= "")
+        col("e.kind").as("kind"),
+        trim(col("e.loc")).as("url"),
+        lastmodDay(col("e.lastmod")).as("lastmod_day"),
+        changefreqNorm(col("e.changefreq")).as("changefreq"),
+        priorityPermille(col("e.priority")).as("priority_permille")): _*)
+      .filter(col("url").isNotNull && col("url") =!= "")
   }
 
   /** End-to-end frontier feed: robots discovery → fetched sitemap docs →

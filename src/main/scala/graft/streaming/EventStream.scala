@@ -36,20 +36,33 @@ object EventStream {
     */
   final case class FrontierUrl(unit_path: String, url: String, seq: Long)
 
-  def streamingUrlSeen(frontier: Dataset[FrontierUrl]): Dataset[FrontierUrl] = {
-    import frontier.sparkSession.implicits._
-    frontier
-      .groupByKey(_.unit_path)
-      .flatMapGroupsWithState[Boolean, FrontierUrl](
+  /** The shared first-wins state machine of every streaming dedup twin:
+    * one boolean of state per seen key, the first arriving micro-batch
+    * emits its best row (`pick` — order is data, W2), every later batch
+    * is suppressed. Kept in ONE place so a state-policy change (e.g. a
+    * timeout) cannot drift between the url / image / fingerprint /
+    * sitemap twins.
+    */
+  private def firstWins[K, T](ds: Dataset[T])(key: T => K)(
+      pick: Iterator[T] => T)(implicit ek: org.apache.spark.sql.Encoder[K],
+      et: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    implicit val eb: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[Boolean, T](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, rows, state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty // unit already emitted in a prior batch
+          if (state.exists) Iterator.empty // key emitted in a prior batch
           else {
             state.update(true)
-            // first-wins within the batch: min seq (order is data, W2)
-            Iterator.single(rows.minBy(_.seq))
+            Iterator.single(pick(rows))
           }
       }
+  }
+
+  def streamingUrlSeen(frontier: Dataset[FrontierUrl]): Dataset[FrontierUrl] = {
+    import frontier.sparkSession.implicits._
+    firstWins(frontier)(_.unit_path)(_.minBy(_.seq))
   }
 
   /** Streaming IMAGE-ingest dedup — the multimodal family's incremental
@@ -80,17 +93,7 @@ object EventStream {
 
   def streamingImageDedup(images: Dataset[ImageArrival]): Dataset[ImageArrival] = {
     import images.sparkSession.implicits._
-    images
-      .groupByKey(_.phash)
-      .flatMapGroupsWithState[Boolean, ImageArrival](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty // pHash emitted in a prior batch
-          else {
-            state.update(true)
-            Iterator.single(rows.minBy(_.seq)) // first-wins within the batch
-          }
-      }
+    firstWins(images)(_.phash)(_.minBy(_.seq))
   }
 
   /** Streaming twin of `TextOps.trainingMix` — the training-corpus gate
@@ -118,17 +121,7 @@ object EventStream {
 
   def streamingTrainingDedup(docs: Dataset[GatedDoc]): Dataset[GatedDoc] = {
     import docs.sparkSession.implicits._
-    docs
-      .groupByKey(_.fp)
-      .flatMapGroupsWithState[Boolean, GatedDoc](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty // fingerprint emitted earlier
-          else {
-            state.update(true)
-            Iterator.single(rows.minBy(_.seq)) // first-wins within the batch
-          }
-      }
+    firstWins(docs)(_.fp)(_.minBy(_.seq))
   }
 
   /** One frontier row from a streamed sitemap document (the batch
@@ -156,27 +149,16 @@ object EventStream {
   }
 
   /** Streaming twin of the frontier's per-URL dedup: first-wins per url
-    * across micro-batches (within a batch: smallest sitemap_url, the
-    * batch tie-break). The batch path keeps the freshest-lastmod row
-    * instead — over a corpus where one URL may be listed by SEVERAL
-    * sitemaps with identical fields (the common duplicate-route case, and
-    * the planted corpus by construction) the two rules pick identical
-    * rows, which the spec pins; under genuinely divergent metadata the
-    * streaming feed favors arrival order, a documented difference.
+    * across micro-batches; WITHIN a batch the winner is the batch rule —
+    * freshest lastmod, then smallest sitemap_url — so the only divergence
+    * from `sitemapFrontier` is the inherent cross-batch one (a fresher
+    * row arriving after its url was emitted is suppressed; arrival order
+    * wins across batches, a documented difference).
     */
   def streamingSitemapDedup(entries: Dataset[SitemapUrlRow]): Dataset[SitemapUrlRow] = {
     import entries.sparkSession.implicits._
-    entries
-      .groupByKey(_.url)
-      .flatMapGroupsWithState[Boolean, SitemapUrlRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty // url emitted in a prior batch
-          else {
-            state.update(true)
-            Iterator.single(rows.minBy(_.sitemap_url))
-          }
-      }
+    firstWins(entries)(_.url)(
+      _.minBy(r => (-r.lastmod_day.getOrElse(-1L), r.sitemap_url)))
   }
 
   /** Incremental frontier ingestion: streaming discovery → stateful

@@ -44,13 +44,18 @@ class EventStreamSpec extends SparkTestBase {
     q.processAllAvailable()
     input.addData(docRows(level1): _*)
     q.processAllAvailable()
-    val got = spark.table("sitemap_stream_out")
-      .as[EventStream.SitemapUrlRow].collect().toSet
+    // collect as a Seq FIRST: the planted duplicate-route rows are
+    // byte-identical, so a Set would collapse a failed cross-batch dedup's
+    // double emission and make the assertion vacuous
+    val gotRows = spark.table("sitemap_stream_out")
+      .as[EventStream.SitemapUrlRow].collect().toSeq
     q.stop()
+    assert(gotRows.length == gotRows.map(_.url).distinct.length,
+      "streaming emitted a url twice")
 
+    val got = gotRows.toSet
     val batch = graft.sources.Sitemaps.sitemapFrontier(robots, docs)
       .as[EventStream.SitemapUrlRow].collect().toSet
-    assert(got.size == got.map(_.url).size, "streaming emitted a url twice")
     assert(got == batch,
       s"streaming-batch row-set mismatch: ${(got diff batch).take(3)} / ${(batch diff got).take(3)}")
   }
