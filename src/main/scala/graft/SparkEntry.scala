@@ -632,6 +632,15 @@ object SparkEntry {
       graft.fixtures.SyntheticStore.ensureOnDisk(s, dumpDir, 500L)
       MultimodalOps.visionPrep(s, s.read.parquet(dumpDir))
     }),
+    // the capstone of the pair table: image gate (real decode) ∧ caption
+    // gate (real C6∘C8 normalize) in ONE scan — the alpha threshold 780
+    // genuinely splits the store (351/149), the image gate 286/214, so
+    // all four keep quadrants are oracle-exercised
+    "q_multimodal_pairs" -> ((s, d) => {
+      val dumpDir = "/tmp/graft_mm_store_500"
+      graft.fixtures.SyntheticStore.ensureOnDisk(s, dumpDir, 500L)
+      MultimodalOps.pairGate(s, s.read.parquet(dumpDir))
+    }),
     // the CAPTION side of the image+caption pair through the REAL
     // normalize pipeline (C6 strip_html ∘ C8 fix_encoding — the S10 sink's
     // own caption path) + quality columns. Closed-form because the store's
@@ -1919,6 +1928,36 @@ object SparkEntry {
         |  CAST(FLOOR(length(regexp_replace(caption_clean, '[^A-Za-z]', '', 'g'))
         |    * 1000.0 / length(caption_clean)) AS BIGINT) AS alpha_permille
         |FROM n""".stripMargin,
+    // the pair gate: the vision-prep integer arithmetic ∧ the per-residue
+    // caption repair, both straight from the dumped store
+    "q_multimodal_pairs" ->
+      """WITH c AS (
+        |  SELECT image_id,
+        |    CAST(regexp_extract(image_id, '^thing:(\d+)/', 1) AS BIGINT) AS id,
+        |    caption, w, h
+        |  FROM read_parquet('/tmp/graft_mm_store_500/*.parquet')),
+        |n AS (
+        |  SELECT image_id, w, h,
+        |    TRIM(CASE
+        |      WHEN id % 10 = 3 THEN regexp_replace(caption, '<[^>]*>', '', 'g')
+        |      WHEN id % 10 = 7 THEN replace(caption, 'â€”', '—')
+        |      ELSE caption END) AS cc
+        |  FROM c),
+        |m AS (
+        |  SELECT image_id,
+        |    CAST(((w + 13) // 14) * ((h + 13) // 14) AS BIGINT) AS n_patches,
+        |    CAST(length(regexp_split_to_array(cc, '\s+')) AS BIGINT)
+        |      AS caption_tokens,
+        |    CAST(FLOOR(length(regexp_replace(cc, '[^A-Za-z]', '', 'g'))
+        |      * 1000.0 / length(cc)) AS BIGINT) AS caption_alpha_permille,
+        |    (LEAST(w, h) >= 16 AND w <= 2 * h AND h <= 2 * w) AS keep_image
+        |  FROM n)
+        |SELECT image_id, n_patches, caption_tokens, caption_alpha_permille,
+        |  keep_image,
+        |  (caption_tokens >= 3 AND caption_alpha_permille >= 780) AS keep_caption,
+        |  (keep_image AND caption_tokens >= 3 AND caption_alpha_permille >= 780)
+        |    AS keep
+        |FROM m""".stripMargin,
     // integer-arithmetic twin over the dumped store's stored dimensions
     // (decode-extracted w/h ≡ stored w/h is already pinned by
     // q_multimodal_featurize)

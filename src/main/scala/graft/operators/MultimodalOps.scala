@@ -186,4 +186,44 @@ object MultimodalOps {
         (least(col("w"), col("h")) >= minDim &&
           col("w") <= lit(2) * col("h") && col("h") <= lit(2) * col("w"))
           .as("keep"))
+
+  /** Training-ready IMAGE+CAPTION pair gate — the capstone filter of the
+    * pair table (the engine's input shape: image bytes + caption per
+    * row): a pair survives iff the image passes the `visionPrep` quality
+    * gate (real-decode dimensions ≥ `minDim`, aspect within 2:1) AND the
+    * caption passes the text gate after the REAL C6∘C8 normalize path
+    * (≥ `minCaptionTokens` whitespace tokens, alpha ratio ≥
+    * `minCaptionAlphaPermille`). Both sides are projections of the SAME
+    * row in one scan — no join, no shuffle: exactly how a 100 TB pair
+    * table is filtered. Both verdicts are kept as columns (plus the
+    * conjunction) so downstream can audit WHY a pair dropped.
+    */
+  def pairGate(spark: SparkSession, storeDf: DataFrame, patchPx: Int = 14,
+      minDim: Int = 16, minCaptionTokens: Int = 3,
+      minCaptionAlphaPermille: Int = 780): DataFrame = {
+    val cc = trim(graft.functions.TextNormalize.normalizeCaptionUdf(col("caption")))
+    val nChars = length(col("caption_clean")).cast("long")
+    val alpha = length(regexp_replace(col("caption_clean"), "[^A-Za-z]", ""))
+      .cast("long")
+    storeDf
+      .withColumn("meta", imageMetaUdf(col("bytes")))
+      .select(col("image_id"),
+        col("meta.w").cast("long").as("w"), col("meta.h").cast("long").as("h"),
+        cc.as("caption_clean"))
+      .select(col("image_id"),
+        (floor((col("w") + lit(patchPx - 1)) / lit(patchPx)) *
+          floor((col("h") + lit(patchPx - 1)) / lit(patchPx)))
+          .cast("long").as("n_patches"),
+        size(split(col("caption_clean"), "\\s+")).cast("long")
+          .as("caption_tokens"),
+        floor(alpha * lit(1000.0) / nChars).cast("long")
+          .as("caption_alpha_permille"),
+        (least(col("w"), col("h")) >= minDim &&
+          col("w") <= lit(2) * col("h") && col("h") <= lit(2) * col("w"))
+          .as("keep_image"))
+      .withColumn("keep_caption",
+        col("caption_tokens") >= minCaptionTokens &&
+          col("caption_alpha_permille") >= minCaptionAlphaPermille)
+      .withColumn("keep", col("keep_image") && col("keep_caption"))
+  }
 }

@@ -156,6 +156,34 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
   }
 
+  test("pairGate: image gate ∧ caption gate in one scan — all four keep " +
+      "quadrants over a hand-built pair table") {
+    def img(w: Int, h: Int) =
+      ImageFunctions.encode(Array.fill(w * h)(0x336699), w, h, "png")
+    val goodCap = "A sturdy printed bracket with anodized aluminum fittings"
+    val poorCap = "x1 2 33 44 5 6 77 8 9" // tokens fine, alpha ~0
+    val pairs = Seq(
+      ("p/both", img(28, 28), goodCap), // keep
+      ("p/img-only", img(28, 28), poorCap), // caption fails
+      ("p/cap-only", img(8, 8), goodCap), // image fails (minDim)
+      ("p/neither", img(64, 8), poorCap)) // both fail (aspect + alpha)
+      .toDF("image_id", "bytes", "caption")
+    val got = MultimodalOps.pairGate(spark, pairs)
+      .select("image_id", "keep_image", "keep_caption", "keep")
+      .as[(String, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      "p/both" -> ((true, true, true)),
+      "p/img-only" -> ((true, false, false)),
+      "p/cap-only" -> ((false, true, false)),
+      "p/neither" -> ((false, false, false))))
+    // derived columns: 28x28 at patch 14 → 4 patches; caption tokens
+    val both = MultimodalOps.pairGate(spark, pairs)
+      .filter(col("image_id") === "p/both").collect().head
+    assert(both.getLong(1) == 4L) // n_patches
+    assert(both.getLong(2) == 8L) // caption_tokens
+  }
+
   test("audio/video stubs: deterministic typed metadata with real schema") {
     val withAudio = store.limit(10)
       .withColumn("audio_meta", MultimodalOps.audioMetaUdf(col("bytes")))
