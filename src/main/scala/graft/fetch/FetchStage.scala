@@ -146,9 +146,14 @@ object FetchStage {
     val saltsBc = spark.sparkContext.broadcast(nSalts)
     val outcomeFn = outcome // stable reference for closure capture
 
+    // NO second exchange: the `pos` window above already hash-partitioned
+    // the tasks on (hosting_id, salt) and its required sort ordering is
+    // (hosting_id, salt, priority, seq) — exactly the distribution and
+    // in-partition order the per-host virtual-clock fold needs. The
+    // previous explicit repartition + sortWithinPartitions re-shuffled and
+    // re-sorted the same rows on the same keys (guide §2.4: remove
+    // shuffles whose partitioning is already established).
     scheduled
-      .repartition(col("hosting_id"), col("salt"))
-      .sortWithinPartitions(col("hosting_id"), col("salt"), col("priority"), col("seq"))
       .as[(String, String, Long, Int, Long, Long, Long, Long, Boolean, Int, Long)]
       .mapPartitions { it =>
         val pol = politenessBc.value

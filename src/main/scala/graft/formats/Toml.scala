@@ -117,10 +117,16 @@ object Toml {
       m
     } else if (t == "true") true
     else if (t == "false") false
-    else if (t.matches("[+-]?[0-9_]+")) t.replace("_", "").toLong
-    else if (t.matches("[+-]?[0-9_]*\\.[0-9_]+([eE][+-]?[0-9]+)?")) t.replace("_", "").toDouble
+    else if (IntPattern.matcher(t).matches()) t.replace("_", "").toLong
+    else if (FloatPattern.matcher(t).matches()) t.replace("_", "").toDouble
     else t // bare value (dates etc.) kept as string
   }
+
+  // precompiled: String.matches re-compiles its pattern per call, and
+  // parseValue runs once per TOML line of every manifest on the hot path
+  private val IntPattern = java.util.regex.Pattern.compile("[+-]?[0-9_]+")
+  private val FloatPattern =
+    java.util.regex.Pattern.compile("[+-]?[0-9_]*\\.[0-9_]+([eE][+-]?[0-9]+)?")
 
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]

@@ -140,8 +140,14 @@ object Yaml {
     } else if (t == "null" || t == "~") Json.JNull
     else if (t == "true" || t == "True") Json.JBool(true)
     else if (t == "false" || t == "False") Json.JBool(false)
-    else if (t.matches("[+-]?[0-9]+")) Json.n(t.toLong)
-    else if (t.matches("[+-]?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?")) Json.d(t.toDouble)
+    else if (IntPattern.matcher(t).matches()) Json.n(t.toLong)
+    else if (FloatPattern.matcher(t).matches()) Json.d(t.toDouble)
     else Json.JStr(t)
   }
+
+  // precompiled: String.matches re-compiles its pattern per call, and
+  // scalar() runs once per YAML value of every manifest on the hot path
+  private val IntPattern = java.util.regex.Pattern.compile("[+-]?[0-9]+")
+  private val FloatPattern =
+    java.util.regex.Pattern.compile("[+-]?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?")
 }

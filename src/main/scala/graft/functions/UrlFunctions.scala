@@ -28,7 +28,12 @@ object UrlFunctions {
     }
   }
 
-  val canonicalizeUdf = udf(canonicalizeFn)
+  // asNondeterministic: a documented white lie (the parse is pure). The
+  // frontier operators filter on canon.parse_error; Catalyst pushes a
+  // deterministic-UDF-derived predicate below the projection and then
+  // re-evaluates the parse for the projected fields — every frontier row
+  // paid the URL parse twice (guide §4.4). The marker pins one evaluation.
+  val canonicalizeUdf = udf(canonicalizeFn).asNondeterministic()
 
   /** Adds struct column `canon(host, hosting_id, unit_path, parse_error)`. */
   def canonicalize(urlCol: Column): Column = canonicalizeUdf(urlCol)

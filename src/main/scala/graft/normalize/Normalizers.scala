@@ -144,58 +144,55 @@ object Normalizers {
         (col("id") / 10000).cast("long").cast("string"), lit("/"), col("id").cast("string")))
 
     // images: first-wins by URL over [thumbnail, default_image, zip images]
-    // with the broken CDN URL dropped (P3; thingiverse.py:159,176-193)
-    val imgCandidates = hits.select(col("project_id"),
-      posexplode(concat(
-        array(struct(lit(null).cast("string").as("name"), col("thumbnail").as("url"))),
-        array(struct(col("default_image.name").as("name"), col("default_image.url").as("url"))),
-        coalesce(expr("transform(zip_data.images, i -> struct(i.name as name, i.url as url))"),
-          array()))))
-      .filter(col("col.url").isNotNull && col("col.url") =!= lit(Predicates.BrokenImageUrl))
-    val wImg = Window.partitionBy(col("project_id"), col("col.url")).orderBy(col("pos"))
-    val images = imgCandidates
-      .withColumn("rn", row_number().over(wImg))
-      .filter(col("rn") === 1)
-      .groupBy("project_id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("col").as("img")))).as("ordered"))
-      .select(col("project_id"), expr("transform(ordered, o -> o.img)").as("image"))
+    // with the broken CDN URL dropped (P3; thingiverse.py:159,176-193).
+    // IN-ROW: the candidate list is a per-project array already, so the
+    // first-wins dedup is an ordered array fold — the previous
+    // posexplode → window → groupBy(collect_list) → join-back shape paid
+    // two shuffles and re-parsed the JSON in a second subtree for rows
+    // that never leave their project (guide §2.4: remove shuffles
+    // outright). Identical output: filter in candidate order, keep the
+    // first occurrence of each URL.
+    val imgCandidates = concat(
+      array(struct(lit(null).cast("string").as("name"), col("thumbnail").as("url"))),
+      array(struct(col("default_image.name").as("name"), col("default_image.url").as("url"))),
+      coalesce(expr("transform(zip_data.images, i -> struct(i.name as name, i.url as url))"),
+        array().cast("array<struct<name:string,url:string>>")))
+    val imageExpr = expr(
+      s"""aggregate(
+         |  filter(__img_cands, x -> x.url is not null
+         |    and x.url != '${Predicates.BrokenImageUrl}'),
+         |  cast(array() as array<$imageType>),
+         |  (acc, x) -> CASE WHEN exists(acc, y -> y.url = x.url) THEN acc
+         |    ELSE array_append(acc, struct(
+         |      x.name as name, cast(null as string) as path, x.url as url,
+         |      cast(array() as array<string>) as slots,
+         |      cast(array() as array<string>) as tags,
+         |      cast(array() as array<$langStrType>) as depicts)) END)""".stripMargin)
 
-    // files: category via the extension dimension (J5/P7; thingiverse.py:106-118)
-    val files = hits.select(col("project_id"),
-        explode(coalesce(col("zip_data.files"), array())).as("f"))
-      .withColumn("ext", lower(regexp_extract(col("f.name"), "\\.([^.]+)$", 1)))
-      .join(broadcast(ScalarFunctions.fileFormatsDf(spark)),
-        col("ext") === col("extension"), "left_outer")
-      .withColumn("url", coalesce(col("f.direct_url"), col("f.url")))
-      .filter(col("category").isNotNull)
-    val byCat = files.groupBy("project_id").agg(
-      expr("filter(collect_list(struct(category, f.name as name, url)), x -> x.category = 'source')")
-        .as("src_raw"),
-      expr("filter(collect_list(struct(category, f.name as name, url)), x -> x.category = 'export')")
-        .as("exp_raw"))
-      .select(col("project_id"),
-        expr("transform(src_raw, x -> struct(x.name as name, x.url as url))").as("source"),
-        expr("transform(exp_raw, x -> struct(x.name as name, x.url as url))").as("export"))
-
-    // platform outputs share ONE schema (unionByName-compatible across
-    // normalizers): URL-only platform entries widen to the full file/image
-    // struct types
-    def asFiles(c: Column): Column = transform(c, f => struct(
-      f.getField("name").as("name"),
-      lit(null).cast("string").as("path"),
-      f.getField("url").as("url")))
-    def asImages(c: Column): Column = transform(c, f => struct(
-      f.getField("name").as("name"),
-      lit(null).cast("string").as("path"),
-      f.getField("url").as("url"),
-      array().cast("array<string>").as("slots"),
-      array().cast("array<string>").as("tags"),
-      array().cast(s"array<$langStrType>").as("depicts")))
+    // files: category via the extension dimension (J5/P7; thingiverse.py:
+    // 106-118). IN-ROW: the dimension is ~30 rows (spec-pinned equal to
+    // the CSV asset the S14 load path reads — q_mime_join still exercises
+    // the spark.read load), so the left-outer-join + category filter is a
+    // literal-map lookup inside one array transform instead of an
+    // explode → join → groupBy → join-back (two shuffles saved).
+    val extToCategory: Map[String, String] = ScalarFunctions.fileFormats
+      .collect { case (ext, _, cat) if cat != null => ext -> cat }.toMap
+    val withCat = transform(coalesce(col("zip_data.files"),
+      array().cast("array<struct<name:string,url:string,direct_url:string>>")),
+      f => struct(
+        f.getField("name").as("name"),
+        lit(null).cast("string").as("path"),
+        coalesce(f.getField("direct_url"), f.getField("url")).as("url"),
+        element_at(typedlit(extToCategory),
+          lower(regexp_extract(f.getField("name"), "\\.([^.]+)$", 1))).as("category")))
+    def byCategory(cat: String): Column =
+      expr(s"""transform(filter(__files_cat, x -> x.category = '$cat'),
+              |  x -> struct(x.name as name, x.path as path, x.url as url))""".stripMargin)
 
     hits
       .join(broadcast(licenseDim(spark)), col("license") === col("tv_license"), "left_outer")
-      .join(images, Seq("project_id"), "left_outer")
-      .join(byCat, Seq("project_id"), "left_outer")
+      .withColumn("__img_cands", imgCandidates)
+      .withColumn("__files_cat", withCat)
       .select(Seq(
         col("project_id"),
         col("name"),
@@ -212,12 +209,9 @@ object Normalizers {
         lit("OTRL-4").as("trl"), // thingiverse.py:80
         lit("ODRL-3").as("drl"), // thingiverse.py:81
         lit(null).cast("string").as("cpc_patent_class"),
-        asImages(coalesce(col("image"),
-          array().cast("array<struct<name:string,url:string>>"))).as("image"),
-        asFiles(coalesce(col("source"),
-          array().cast("array<struct<name:string,url:string>>"))).as("source"),
-        asFiles(coalesce(col("export"),
-          array().cast("array<struct<name:string,url:string>>"))).as("export"))
+        imageExpr.as("image"),
+        byCategory("source").as("source"),
+        byCategory("export").as("export"))
         ++ wideTail(col("description")): _*)
   }
 
@@ -373,10 +367,16 @@ object Normalizers {
   // (manifest.py:194-200 trigger; mapping in OkhV1) costs ZERO extra JSON
   // parses on the hot path. Raw-JSON content (cold path) goes through
   // OkhV1.convertJson, which parses once and self-detects.
+  // asNondeterministic on all three: a documented white lie (the parses are
+  // pure). The m.isNotNull/m.name.isNotNull filter below is otherwise pushed
+  // under the manifest_json projection as from_json(UDF(content))… — the
+  // TOML/YAML parse ran up to three times per row (twice inside the pushed
+  // filter, once in the projection; guide §4.4). The marker pins exactly one
+  // parse per manifest; from_json then reads the materialized attribute.
   private val tomlToJsonUdf = udf { s: String =>
     try OkhV1.convertToLosh(graft.formats.Toml.parse(s)).toString
     catch { case _: Exception => null }
-  }
+  }.asNondeterministic()
   private val yamlToJsonUdf = udf { s: String =>
     try {
       graft.formats.Yaml.parse(s) match {
@@ -384,8 +384,8 @@ object Normalizers {
         case other => other.toString
       }
     } catch { case _: Exception => null }
-  }
-  private val okhV1JsonUdf = udf(OkhV1.convertJson _)
+  }.asNondeterministic()
+  private val okhV1JsonUdf = udf(OkhV1.convertJson _).asNondeterministic()
 
   /** TOML/YAML manifest content (`fmt` column ∈ {toml, yml, json}) →
     * Project rows. Parse errors become null rows filtered into a failure
@@ -404,9 +404,11 @@ object Normalizers {
       .withColumn("m", from_json(col("manifest_json"), manifestSchema))
       .filter(col("m").isNotNull && col("m.name").isNotNull)
 
-    val person = ScalarFunctions.parsePersonUdf(col("m.licensor"))
-    val dims = ScalarFunctions.openScadDimsUdf(
-      col("m.`outer-dimensions`.openSCAD"), col("m.`outer-dimensions`.unit"))
+    // person/dims are referenced by several getField projections below —
+    // they are materialized via withColumn (see the final select's source
+    // frame) so the UDF runs once per row, not once per referenced field
+    val person = col("__person")
+    val dims = col("__dims")
 
     // Appropedia v1 hack (manifest.py:344-358): a comma-separated
     // "User:X, User:Y" licensor string becomes one agent per user with the
@@ -473,6 +475,9 @@ object Normalizers {
         .otherwise(array().cast(s"array<$imageType>"))
 
     m.withColumn("__img_str", strArr)
+      .withColumn("__person", ScalarFunctions.parsePersonUdf(col("m.licensor")))
+      .withColumn("__dims", ScalarFunctions.openScadDimsUdf(
+        col("m.`outer-dimensions`.openSCAD"), col("m.`outer-dimensions`.unit")))
       .select((passthrough.map(col) :+
       col("m.repo").as("project_id")) ++ Seq(
       col("m.name").as("name"),

@@ -376,36 +376,43 @@ object CrawlOps {
     metaStateImpl(events, withResolution = true)
 
   private def metaStateImpl(events: DataFrame, withResolution: Boolean): DataFrame = {
+    // ONE shuffle on unit_path: the running-frame window computes each ok
+    // row's previous-ok-row hash in the same sorted pass the aggregation
+    // consumes, and ok-only extremes fold into the shared groupBy as
+    // conditional aggregates (min_by/max_by skip null ordering keys). The
+    // previous two-branch form (ok-filtered window + okAgg, joined back to
+    // a second events aggregation) scanned the events twice, shuffled
+    // twice and paid a join; semantics are identical — the `prev` struct
+    // is non-null exactly for "a previous ok row exists", even when that
+    // row's content_hash is null, which is what the lag-over-ok-rows form
+    // expressed (guide §2.4: operations keyed the same way share one
+    // exchange).
     val w = Window.partitionBy("unit_path").orderBy("run_seq")
-    val ok = events.filter(col("status") === "ok")
-      .withColumn("prev_hash", lag(col("content_hash"), 1).over(w))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isOk = col("status") === "ok"
+    val okStruct = when(isOk, struct(col("content_hash").as("h")))
+    val okSeq = when(isOk, col("run_seq"))
+    val annotated = events
+      .withColumn("prev_hash",
+        last(when(isOk, struct(col("content_hash").as("h"))), ignoreNulls = true)
+          .over(w).getField("h"))
       .withColumn("changed",
-        col("prev_hash").isNotNull && col("prev_hash") =!= col("content_hash"))
-    val okAgg = ok.groupBy("unit_path").agg(
-      max(col("run_seq")).as("last_successfully_visited"),
-      sum(when(col("changed"), 1L).otherwise(0L)).as("ok_changes"),
-      max(when(col("changed"), col("run_seq"))).as("last_detected_change"),
-      min_by(col("content_hash"), col("run_seq")).as("first_ok_hash"),
-      min(col("run_seq")).as("first_ok_seq"),
-      max_by(col("content_hash"), col("run_seq")).as("last_ok_hash"))
-    val baseAggs = Seq(
+        isOk && col("prev_hash").isNotNull && col("prev_hash") =!= col("content_hash"))
+    val aggs = Seq(
       count(lit(1)).as("visits"),
       min(col("run_seq")).as("first_visited"),
-      max(col("run_seq")).as("last_visited")) ++
+      max(col("run_seq")).as("last_visited"),
+      max(okSeq).as("last_successfully_visited"),
+      sum(when(col("changed"), 1L).otherwise(0L)).as("changes"),
+      max(when(col("changed"), col("run_seq"))).as("last_detected_change"),
+      min_by(okStruct, okSeq).getField("h").as("first_ok_hash"),
+      min(okSeq).as("first_ok_seq"),
+      max_by(okStruct, okSeq).getField("h").as("last_ok_hash")) ++
       (if (withResolution)
         // bucket is a pure function of unit_path — max picks the one value
         max(col("bucket")).as("bucket") +: resolutionAggs
       else Seq.empty)
-    val stateCols = Seq(col("unit_path"), col("visits"), col("first_visited"),
-      col("last_visited"), col("last_successfully_visited"),
-      coalesce(col("ok_changes"), lit(0L)).as("changes"),
-      col("last_detected_change"),
-      col("first_ok_hash"), col("first_ok_seq"), col("last_ok_hash")) ++
-      (if (withResolution) Seq(col("bucket"), col("perm"), col("n_err"))
-      else Seq.empty)
-    events.groupBy("unit_path").agg(baseAggs.head, baseAggs.tail: _*)
-      .join(okAgg, Seq("unit_path"), "left_outer")
-      .select(stateCols: _*)
+    annotated.groupBy("unit_path").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Merge two adjacent meta-state segments (every run_seq in `left`

@@ -47,9 +47,13 @@ object Seeds {
         .when(pmod(col("k"), lit(5)) === 3, gl)
         .otherwise(cb)
     }
-    val primary = part.select(shape(aliasForm = false).as("url"), (col("k") * 2).as("seq"))
-    val alias = part.select(shape(aliasForm = true).as("url"), (col("k") * 2 + 1).as("seq"))
-    primary.unionByName(alias)
+    // one scan: primary + alias emitted via explode from the same pass
+    // (the previous union of two projections scanned part.parquet twice);
+    // the (url, seq) row multiset is identical
+    part.select(explode(array(
+      struct(shape(aliasForm = false).as("url"), (col("k") * 2).as("seq")),
+      struct(shape(aliasForm = true).as("url"), (col("k") * 2 + 1).as("seq")))).as("r"))
+      .select(col("r.url").as("url"), col("r.seq").as("seq"))
   }
 
   /** DuckDB oracle CTE producing the identical (url, seq) rows. */

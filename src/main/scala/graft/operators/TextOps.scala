@@ -236,16 +236,22 @@ object TextOps {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
-    val indexed = sh.join(rare, Seq("shingle"))
-    val a = indexed.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = indexed.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, "shingle")
+    // n_shingles rides THROUGH the candidate join (guide §2.3: shuffle a
+    // few bytes of metadata instead of re-attaching after the fact): the
+    // previous form joined the pair aggregation against `sizes` twice,
+    // which re-computed the sizes aggregation in two more index scans and
+    // shuffled the pair table two extra times; carrying one long per index
+    // row costs less than either.
+    val indexed = sh.join(rare, Seq("shingle")).join(sizes, Seq("doc_id"))
+    val a = indexed.select(col("doc_id").as("doc_a"), col("shingle"),
+      col("n_shingles").as("na"))
+    val b = indexed.select(col("doc_id").as("doc_b"), col("shingle"),
+      col("n_shingles").as("nb"))
+    a.join(b, "shingle")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      // na/nb are per-doc constants within a group — max picks the value
+      .agg(count(lit(1)).as("inter"), max("na").as("na"), max("nb").as("nb"))
       .withColumn("jaccard_permille",
         floor(col("inter") * 1000.0 / (col("na") + col("nb") - col("inter"))).cast("long"))
       .filter(col("jaccard_permille") >= minPermille)
@@ -268,15 +274,17 @@ object TextOps {
   def minhashSignaturesOf(docsDf: DataFrame, k: Int = 64): DataFrame = {
     val words = split(trim(lower(col("text"))), "\\s+")
     val n = 5
-    val sigCols = (0 until k).map { i =>
-      expr(s"array_min(transform(hs, h -> xxhash64($i, h)))").as(s"mh_$i")
-    }
+    // ONE array<long> signature column instead of k scalar columns, built
+    // by the native `minhash_sig` kernel (bit-identical XXH64 composition —
+    // see MinhashSig). The previous k-column higher-order-function form was
+    // interpreted per element (~15× slower per BenchExtra minhash_sig_only)
+    // and made every downstream operator drag k+1 attributes through
+    // analysis/optimization and codegen.
     docsDf
       .select(col("doc_id"), words.as("words"))
       .filter(size(col("words")) >= n)
-      .withColumn("hs", expr(
-        s"array_distinct(transform(sequence(1, size(words) - ${n - 1}), i -> xxhash64(concat_ws(' ', slice(words, i, $n)))))"))
-      .select((col("doc_id") +: sigCols): _*)
+      .select(col("doc_id"),
+        graft.functions.MinhashSigExpr(col("words"), k, n).as("mh"))
   }
 
   /** MinHash + LSH banding: k=64 hashes → 16 bands × 4 rows; docs sharing a
@@ -297,26 +305,33 @@ object TextOps {
     val rowsPerBand = k / bands
     val sig = graft.PlanCache.cached(spark, s"minhash-sig:$cacheKey:$k")(
       minhashSignaturesOf(docsDf, k))
-    val sigCols = (0 until k).map(i => col(s"mh_$i"))
+    // bucket hash inputs are the individual components (getItem), NOT the
+    // sliced sub-array — bit-identical bucket values to the previous
+    // k-column form, so candidate generation is unchanged
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      val cols = (0 until rowsPerBand).map(r => col("mh").getItem(b * rowsPerBand + r))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
     }
+    // no distinct: (doc_id, band) is unique by construction (each doc
+    // explodes exactly one struct per band index), so the old distinct was
+    // a vacuous Exchange + two HashAggregates on each side of the self-join
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .distinct()
     val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // verify: fraction of equal signature components ≈ Jaccard
-    val eqExprs = (0 until k).map(i =>
-      when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
+    // verify: fraction of equal signature components ≈ Jaccard — exact
+    // integer count over the zipped arrays (same sum as the previous
+    // 64-term when-chain, one expression instead of 64)
     cand
       .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .withColumn("eq_permille",
-        floor(eqExprs.reduce(_ + _) * 1000.0 / k).cast("long"))
+        floor(expr(
+          """aggregate(zip_with(a.mh, b.mh,
+            |  (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+            |  0, (acc, v) -> acc + v)""".stripMargin) * 1000.0 / k).cast("long"))
       .filter(col("eq_permille") >= minEqPermille)
       .select(col("doc_a"), col("doc_b"), col("eq_permille"))
   }

@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extra stage-isolation benchmarks for the optimization round (guide §1.4:
+  * noop-sink isolation of sub-stages). NOT part of the driver contract —
+  * `graft.Bench` stays the frozen measurement harness; numbers from here are
+  * cited in OPTIMIZATION_r06.md only.
+  *
+  * Usage: runMain graft.tools.BenchExtra [stage1,stage2,...] [repeats]
+  */
+object BenchExtra {
+
+  private def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def stages(spark: SparkSession, d: String): Map[String, () => DataFrame] = {
+    import spark.implicits._
+    def thingiverseHits = spark.read.parquet(s"$d/part.parquet").select(to_json(struct(
+      col("p_partkey").as("id"), col("p_name").as("name"),
+      concat(lit("https://www.thingiverse.com/thing:"), col("p_partkey")).as("public_url"),
+      lit("2020-01-02T03:04:05+00:00").as("modified"),
+      concat(lit("Makes "), col("p_type"), lit(" parts.")).as("description"),
+      lit("GNU - GPL").as("license"),
+      struct(lit("A").as("first_name"), lit("B").as("last_name"),
+        lit("https://www.thingiverse.com/a_b").as("public_url")).as("creator"),
+      struct(
+        array(struct(lit("i.png").as("name"),
+          concat(lit("https://cdn.thingiverse.test/"), col("p_partkey"), lit(".png")).as("url"),
+          lit(null).cast("string").as("added"))).as("images"),
+        array(struct(lit("m.stl").as("name"),
+          concat(lit("https://cdn.thingiverse.test/"), col("p_partkey"), lit(".stl")).as("url"),
+          lit(null).cast("string").as("direct_url"))).as("files")).as("zip_data"))).as("json"))
+    Map(
+      // q_rdf_triples split: the thingiverse normalizer alone vs the full
+      // normalizer + flatMap serialization
+      "rdf_normalize_only" -> (() =>
+        graft.normalize.Normalizers.thingiverse(spark, thingiverseHits)),
+      "rdf_full" -> (() => {
+        val projects = graft.normalize.Normalizers.thingiverse(spark, thingiverseHits)
+        projects.flatMap { r =>
+          val p = graft.model.ProjectModel.fromRow(r)
+          val cm = graft.model.CrawlMeta.initial("thingiverse.com", "api")
+          graft.serialize.RdfSerializer.tripleRows(p, cm)
+        }.toDF()
+      }),
+      // shared sub-stage of every frontier query
+      "seeds_only" -> (() => graft.operators.Seeds.seeds(spark, d)),
+      "canonicalized_only" -> (() => graft.operators.CrawlOps.canonicalized(spark, d)),
+      // minhash signature build (cold, uncached twin of the cached path)
+      "minhash_sig_only" -> (() => graft.operators.TextOps.minhashSignaturesOf(
+        spark.read.parquet(s"$d/documents.parquet"))),
+      "shingles_only" -> (() => graft.operators.TextOps.shinglesOf(
+        spark.read.parquet(s"$d/documents.parquet"), hashed = true))
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val repeats = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-extra")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val all = stages(spark, sfDir)
+    val names =
+      if (args.nonEmpty && args(0).nonEmpty) args(0).split(",").toSeq else all.keys.toSeq.sorted
+    val out = names.map { name =>
+      val fn = all(name)
+      spark.sparkContext.setJobDescription(s"extra:$name")
+      val samples = (0 until repeats).map(_ => time(exec(fn())))
+      name -> samples
+    }
+    spark.sparkContext.setJobDescription(null)
+    out.foreach { case (n, ss) =>
+      println(f"[extra] $n%-24s min=${ss.min}%6.3f  samples=${ss.map(s => f"$s%.3f").mkString(",")}")
+    }
+    graft.PlanCache.clear(spark)
+    spark.stop()
+  }
+}

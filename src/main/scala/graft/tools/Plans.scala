@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump `.explain("formatted")` for declared queries into a directory
+  * (plans/r06/<name>_<tag>.txt) — the optimization-round evidence files.
+  * Not part of the driver contract.
+  *
+  * Usage: runMain graft.tools.Plans <outDir> <tag> [q1,q2,...]
+  * (defaults: all Bench.headline queries).
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("plans/r06")
+    val tag = if (args.length > 1) args(1) else "before"
+    val names: Seq[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else graft.Bench.headline
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-plans")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      try {
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, s"${name}_$tag.txt"),
+          plan.getBytes("UTF-8"))
+        println(s"[plans] wrote $name")
+      } catch {
+        case e: Exception => println(s"[plans] FAILED $name: ${e.getMessage}")
+      }
+    }
+    graft.PlanCache.clear(spark)
+    spark.stop()
+  }
+}
