@@ -538,19 +538,18 @@ object TextOps {
     simhashOf(docs(spark, sfDir))
 
   def simhashOf(docsDf: DataFrame): DataFrame = {
-    val words = docsDf
-      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("word")))
-    val bitVotes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"v_$i")
-    }
-    val votes = words.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val hashExpr = (0 until 64).map { i =>
-      when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    votes.select(col("doc_id"), hashExpr.as("simhash"))
+    // shuffle-free scan via the native `simhash_sig` kernel (bit-identical
+    // to the explode → groupBy tf → 64-bit-vote aggregation it replaced;
+    // pinned in OptimizedOpsSpec). The old form exploded one row per WORD
+    // and shuffled that tokenized corpus twice — at 100 TB the explode
+    // output dwarfs the documents. A doc with null text exploded to no
+    // rows, hence the isNotNull filter to keep the output row set exact.
+    val words = split(trim(lower(col("text"))), "\\s+")
+    docsDf
+      .select(col("doc_id"), words.as("words"))
+      .filter(col("words").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.SimhashSigExpr(col("words")).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidate-

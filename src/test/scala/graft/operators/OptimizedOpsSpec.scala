@@ -69,6 +69,71 @@ class OptimizedOpsSpec extends SparkTestBase {
       None, Some(1L), Some(6L)))
   }
 
+  test("simhash_sig kernel ≡ the explode → groupBy vote pipeline it replaced") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "THE  Quick   brown\tfox dog dog dog", // bag changes, repeated words
+      "x", "", // single word / empty-string word
+      (1 to 200).map(i => s"w${i % 37}").mkString(" ")) // heavy repeats
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val legacyWords = docs
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("word")))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"v_$i")
+    }
+    val votes = legacyWords.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val hashExpr = (0 until 64).map { i =>
+      when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val legacy = votes.select(col("doc_id"), hashExpr.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = TextOps.simhashOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == legacy)
+  }
+
+  test("allocateBudget distributed rewrite ≡ the driver-side " +
+      "largest-remainder apportionment it replaced") {
+    import spark.implicits._
+    // reference reimplementation of the replaced driver-side algorithm
+    def legacy(counts: Seq[(String, Long)], budget: Long,
+        cap: Long): Map[String, (Long, Long)] = {
+      val demands = counts.map { case (h, n) => (h, math.min(n, cap)) }
+      val total = demands.map(_._2).sum
+      val alloc: Map[String, Long] =
+        if (total <= budget) demands.toMap
+        else {
+          val base = demands.map { case (h, d) =>
+            val prod = BigInt(budget) * d
+            (h, (prod / total).toLong, (prod % total).toLong)
+          }
+          val leftover = budget - base.map(_._2).sum
+          val bonus = base.sortBy { case (h, _, rem) => (-rem, h) }
+            .take(leftover.toInt).map(_._1).toSet
+          base.map { case (h, b, _) => h -> (b + (if (bonus(h)) 1L else 0L)) }.toMap
+        }
+      counts.map { case (h, n) => h -> (n, alloc(h)) }.toMap
+    }
+    // hosts with remainder ties, a capped giant, an under-budget case
+    val hostRows = Seq.tabulate(9)(i => (s"h$i.org", (i % 4) * 7L + 1L)) :+
+      ("giant.org", 1000L)
+    val due = hostRows.flatMap { case (h, n) => Seq.fill(n.toInt)(h) }
+      .toDF("host")
+    for ((budget, cap) <- Seq((100L, 20L), (37L, Long.MaxValue),
+        (5000L, Long.MaxValue), (0L, 5L), (7L, 3L))) {
+      val got = graft.frontier.Recrawl.allocateBudget(due, budget, cap)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == legacy(hostRows, budget, cap), s"budget=$budget cap=$cap")
+      assert(got.values.map(_._2).sum ==
+        math.min(budget, hostRows.map(c => math.min(c._2, cap)).sum))
+    }
+  }
+
   test("minhashLshOf array-signature verify: eq_permille matches the " +
       "per-component fraction") {
     import spark.implicits._
