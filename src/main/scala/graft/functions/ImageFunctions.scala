@@ -17,8 +17,43 @@ object ImageFunctions {
   // scaling. In-memory streams only (class-load-time, once per executor JVM).
   ImageIO.setUseCache(false)
 
-  def decode(bytes: Array[Byte]): Option[BufferedImage] =
-    Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+  // per-thread reader cache: ImageIO.read re-scans the reader registry and
+  // instantiates a fresh reader per call — measurable per-image overhead on
+  // the decode-bounded crawl invariant scan. The cached path is exactly
+  // what ImageIO.read does internally (setInput(stream, seekForwardOnly =
+  // true, ignoreMetadata = true) then read(0)), so decoded images are
+  // identical; readers are not thread-safe, hence ThreadLocal. Unknown
+  // magics fall back to ImageIO.read's own registry dispatch.
+  private val readerCache =
+    ThreadLocal.withInitial[java.util.HashMap[String, javax.imageio.ImageReader]](
+      () => new java.util.HashMap())
+
+  private def formatByMagic(b: Array[Byte]): String =
+    if (b.length < 4) null
+    else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) "jpeg"
+    else null
+
+  def decode(bytes: Array[Byte]): Option[BufferedImage] = {
+    val fmt = if (bytes == null) null else formatByMagic(bytes)
+    if (fmt == null) return Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    val cache = readerCache.get()
+    var reader = cache.get(fmt)
+    if (reader == null) {
+      val it = ImageIO.getImageReadersByFormatName(fmt)
+      if (!it.hasNext) return Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      reader = it.next()
+      cache.put(fmt, reader)
+    }
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      Option(reader.read(0))
+    } finally iis.close()
+  }
 
   /** Encode RGB pixel array (row-major, 0xRRGGBB ints) with the given format.
     * For jpg, quality 0.92 keeps PSNR of smooth fixtures well above 40 dB.
@@ -46,8 +81,44 @@ object ImageFunctions {
   def pixelsOf(img: BufferedImage): Array[Int] = {
     val w = img.getWidth; val h = img.getHeight
     val out = new Array[Int](w * h)
-    img.getRGB(0, 0, w, h, out, 0, w)
-    out.map(_ & 0xFFFFFF)
+    // direct-raster fast paths for the two standard sRGB layouts the
+    // decoders actually produce (PNG/BMP → TYPE_3BYTE_BGR, our own
+    // encode() → TYPE_INT_RGB): BufferedImage.getRGB routes every pixel
+    // through ColorModel virtual calls, which dominated the per-image
+    // cost of the results-append invariant decode. For these types the
+    // bytes ARE the sRGB values, so the packed ints are bit-identical to
+    // the getRGB path (pinned in OptimizedOpsSpec across every store
+    // format); anything else (indexed GIF palettes, gray — where getRGB
+    // applies real colorspace conversion) keeps the exact slow path.
+    img.getType match {
+      case BufferedImage.TYPE_3BYTE_BGR
+          if img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] &&
+            img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte]
+              .getData.length == w * h * 3 =>
+        val d = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        var i = 0
+        while (i < out.length) {
+          val b = i * 3
+          out(i) = ((d(b + 2) & 0xFF) << 16) | ((d(b + 1) & 0xFF) << 8) | (d(b) & 0xFF)
+          i += 1
+        }
+        out
+      case BufferedImage.TYPE_INT_RGB
+          if img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferInt] &&
+            img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt]
+              .getData.length == w * h =>
+        val d = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferInt].getData
+        var i = 0
+        while (i < out.length) { out(i) = d(i) & 0xFFFFFF; i += 1 }
+        out
+      case _ =>
+        img.getRGB(0, 0, w, h, out, 0, w)
+        var i = 0
+        while (i < out.length) { out(i) &= 0xFFFFFF; i += 1 }
+        out
+    }
   }
 
   /** PSNR in dB between two RGB pixel arrays (per-channel MSE). Identical

@@ -58,7 +58,16 @@ object BenchExtra {
       "minhash_sig_only" -> (() => graft.operators.TextOps.minhashSignaturesOf(
         spark.read.parquet(s"$d/documents.parquet"))),
       "shingles_only" -> (() => graft.operators.TextOps.shinglesOf(
-        spark.read.parquet(s"$d/documents.parquet"), hashed = true))
+        spark.read.parquet(s"$d/documents.parquet"), hashed = true)),
+      // the crawl results-append decode in isolation: phash of every
+      // payload in the bench store (set SPARK_GRAFT_CRAWL_N to match an
+      // existing /tmp/graft_bench_store_<n>_px160)
+      "crawl_decode_only" -> (() => {
+        val n = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "300000")
+        spark.read.parquet(s"/tmp/graft_bench_store_${n}_px160")
+          .select(col("image_id"),
+            graft.functions.ImageFunctions.phash64(col("bytes")).as("p"))
+      })
     )
   }
 

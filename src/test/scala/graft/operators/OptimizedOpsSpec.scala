@@ -97,6 +97,30 @@ class OptimizedOpsSpec extends SparkTestBase {
     assert(native == legacy)
   }
 
+  test("pixelsOf raster fast paths ≡ getRGB on every store format " +
+      "(png/bmp/gif/jpg round-trips and a synthetic INT_RGB image)") {
+    import graft.functions.ImageFunctions
+    val rnd = new scala.util.Random(7)
+    val w = 37; val h = 23 // odd sizes: catches any stride assumption
+    val pixels = Array.fill(w * h)(rnd.nextInt(1 << 24))
+    def reference(img: java.awt.image.BufferedImage): Array[Int] = {
+      val out = new Array[Int](img.getWidth * img.getHeight)
+      img.getRGB(0, 0, img.getWidth, img.getHeight, out, 0, img.getWidth)
+      out.map(_ & 0xFFFFFF)
+    }
+    for (fmt <- Seq("png", "bmp", "gif", "jpg")) {
+      val bytes = ImageFunctions.encode(pixels, w, h, fmt)
+      val img = ImageFunctions.decode(bytes).get
+      assert(ImageFunctions.pixelsOf(img).toSeq == reference(img).toSeq,
+        s"fmt=$fmt type=${img.getType}")
+    }
+    // our own encode() path produces TYPE_INT_RGB before writing
+    val direct = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    direct.setRGB(0, 0, w, h, pixels, 0, w)
+    assert(ImageFunctions.pixelsOf(direct).toSeq == reference(direct).toSeq)
+  }
+
   test("allocateBudget distributed rewrite ≡ the driver-side " +
       "largest-remainder apportionment it replaced") {
     import spark.implicits._
