@@ -65,8 +65,12 @@ object KrawlCli {
     val it = args.iterator.buffered
     while (it.hasNext) {
       val tok = it.next()
+      // a '-'-prefixed next token is another option, not this option's
+      // value: `--report --store /s` must report the missing value instead
+      // of silently consuming "--store" (explicit values that genuinely
+      // start with '-' use the --opt=value form)
       def takeValue(name: String): Either[String, String] =
-        if (it.hasNext) Right(it.next())
+        if (it.hasNext && !it.head.startsWith("-")) Right(it.next())
         else Left(s"""The "--$name" option requires a value.""")
       tok match {
         case "-v" | "--verbose" => verbosity = math.max(verbosity, 1)
@@ -206,16 +210,17 @@ object KrawlCli {
             .left.map(errs => CliResult(1, errs))
         } yield {
           if (f.startOver) {
-            // --start-over = "don't start at last saved state"
-            // (fetcher.py:44-47): drop the seen/result/log state so the
-            // whole frontier re-fetches
-            val P = graft.pipeline.CrawlPipeline
-            P.urlSeenStore(root).truncate()
-            P.resultsStore(root).truncate()
-            P.fetchLogStore(root).truncate()
+            // --start-over = "don't start at last saved state" for THIS
+            // fetcher only (fetcher.py:44-47 resets the named fetcher's
+            // saved state, not the shared store) — other hostings' rows
+            // survive the reset
+            graft.pipeline.CrawlPipeline.startOverHosting(spark, root, f.hostingId)
           }
+          // the reference's FetcherXCommand fetches only the named hosting
+          // (fetcher.py:84-86) — restrict the frontier accordingly, so the
+          // summary lines below report this fetcher's counts, not the store's
           val summary = graft.pipeline.CrawlPipeline.runConfigured(
-            spark, store, root, cfg)
+            spark, store, root, cfg, hostingFilter = Some(f.hostingId))
           val lines = Seq(
             s"attempted: ${summary.attempted}", s"ok: ${summary.ok}",
             s"not_found: ${summary.notFound}", s"error: ${summary.error}",

@@ -389,13 +389,19 @@ object CrawlPipeline {
       // shipped constants exactly (CrawlConfig.default)
       politenessBase: Map[String, FetchStage.Politeness] = FetchStage.defaultPoliteness,
       fallbackPoliteness: FetchStage.Politeness = FetchStage.FallbackPoliteness,
-      maxErrorRetries: Int = MaxErrorRetries
+      maxErrorRetries: Int = MaxErrorRetries,
+      // restrict the run to ONE hosting family (the reference's
+      // FetcherXCommand fetches only the named hosting, fetcher.py:84-86);
+      // None = the whole frontier
+      hostingFilter: Option[String] = None
       ): RunSummary = {
     import spark.implicits._
 
     val seen = urlSeenStore(tableRoot)
     val bloomDir = s"$tableRoot/${seenFilters.dirName}"
-    val fullFrontier = robotsAllowed(frontier(spark, storeDir), robotsTxt)
+    val fullFrontier = hostingFilter.foldLeft(
+      robotsAllowed(frontier(spark, storeDir), robotsTxt))(
+      (f, h) => f.filter(col("hosting_id") === h))
 
     // URL-seen anti-join with per-bucket Bloom pre-filter (no false
     // negatives by construction; exact anti-join on unit_path settles the
@@ -624,7 +630,8 @@ object CrawlPipeline {
       limit: Option[Long] = None,
       salts: Map[String, Int] = Map.empty,
       revisit: Boolean = false,
-      robotsTxt: Map[String, String] = Map.empty): RunSummary = {
+      robotsTxt: Map[String, String] = Map.empty,
+      hostingFilter: Option[String] = None): RunSummary = {
     val c = config.validated
     run(spark, storeDir, tableRoot, limit, salts,
       rdfSink = c.rdfSink, rawSink = c.rawSink, revisit = revisit,
@@ -632,7 +639,35 @@ object CrawlPipeline {
       autoCompactAlpha = c.autoCompactAlpha,
       politenessBase = c.politeness,
       fallbackPoliteness = c.fallbackPoliteness,
-      maxErrorRetries = c.maxErrorRetries)
+      maxErrorRetries = c.maxErrorRetries,
+      hostingFilter = hostingFilter)
+  }
+
+  /** Scope a `--start-over` reset to ONE hosting family (the reference
+    * resets only the named fetcher's saved state, fetcher.py:44-47 +
+    * 84-86): url_seen/fetch_log/results keep every OTHER hosting's rows;
+    * the derived url_seen summary is dropped entirely (rebuilt by the
+    * next compaction) and the per-bucket seen-filter files reconcile
+    * automatically on the next run (their stamped version no longer
+    * matches the rewritten url_seen).
+    */
+  def startOverHosting(spark: SparkSession, tableRoot: String,
+      hostingId: String): Unit = {
+    def rewrite(store: SnapshotStore, partitionCol: String,
+        keep: DataFrame => DataFrame): Unit =
+      store.read(spark).foreach { df =>
+        val remaining = keep(df)
+        if (remaining.isEmpty) store.truncate()
+        else store.replace(spark, remaining, partitionCol)
+      }
+    rewrite(urlSeenStore(tableRoot), "bucket",
+      _.filter(col("hosting_id") =!= hostingId))
+    rewrite(fetchLogStore(tableRoot), "hosting_id",
+      _.filter(col("hosting_id") =!= hostingId))
+    rewrite(resultsStore(tableRoot), "id_group",
+      _.filter(substring_index(col("unit_path"), "/", 1) =!= hostingId))
+    urlSeenSummaryStore(tableRoot).read(spark)
+      .foreach(_ => urlSeenSummaryStore(tableRoot).truncate())
   }
 
   /** The CrawlingMeta view over this table root's url_seen event log. */

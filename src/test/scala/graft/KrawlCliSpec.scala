@@ -137,4 +137,66 @@ class KrawlCliSpec extends SparkTestBase {
       bad.lines.exists(_.contains("maxErrorRetries must be in [1, 100]")),
       bad.lines.mkString("; "))
   }
+
+  test("a '-'-prefixed token is never consumed as an option value " +
+      "(--report --store /s reports the missing value)") {
+    assert(parse(Seq("fetch", "url", "u1", "--report", "--store", "/s")) ==
+      Left("""The "--report" option requires a value."""))
+    // explicit '=' form still allows any value
+    val p = parse(Seq("fetch", "url", "u1", "--report=-weird",
+      "--store", "/s", "--table-root", "/t")).toOption.get
+    assert(p.command.asInstanceOf[FetchUrl].report.contains("-weird"))
+  }
+
+  test("fetch <hosting-id> fetches ONLY that hosting and --start-over " +
+      "resets only that fetcher's saved state (fetcher.py:44-47, 84-86)") {
+    import org.apache.spark.sql.functions.col
+    val storeDir = Files.createTempDirectory("graft-cli-store3").toString
+    SyntheticStore.ensureOnDisk(spark, storeDir, 70)
+    val root = Files.createTempDirectory("graft-cli-tables3").toString
+    val P = graft.pipeline.CrawlPipeline
+    def attempted(r: KrawlCli.CliResult): Long = r.lines.collectFirst {
+      case l if l.startsWith("attempted: ") => l.drop("attempted: ".length).toLong
+    }.get
+
+    val tv = dispatch(spark, parse(Seq("fetch", "thingiverse.com",
+      "--store", storeDir, "--table-root", root)).toOption.get)
+    assert(tv.exitCode == 0 && attempted(tv) > 0)
+    // only thingiverse rows in the log — the hosting restriction itself
+    val hosts1 = P.fetchLogStore(root).read(spark).get
+      .select("hosting_id").distinct().collect().map(_.getString(0)).toSet
+    assert(hosts1 == Set("thingiverse.com"), hosts1.toString)
+
+    val gh = dispatch(spark, parse(Seq("fetch", "github.com",
+      "--store", storeDir, "--table-root", root)).toOption.get)
+    assert(gh.exitCode == 0 && attempted(gh) > 0)
+
+    // start-over scoped to thingiverse: its units re-fetch in full …
+    val tv2 = dispatch(spark, parse(Seq("fetch", "thingiverse.com",
+      "--start-over", "--store", storeDir, "--table-root", root)).toOption.get)
+    assert(attempted(tv2) == attempted(tv), s"${attempted(tv2)} != ${attempted(tv)}")
+    // … while github's saved state SURVIVED the reset (resume = nothing new)
+    val gh2 = dispatch(spark, parse(Seq("fetch", "github.com",
+      "--store", storeDir, "--table-root", root)).toOption.get)
+    assert(attempted(gh2) == 0, s"github state was clobbered: ${gh2.lines}")
+    val ghLog = P.fetchLogStore(root).read(spark).get
+      .filter(col("hosting_id") === "github.com").count()
+    assert(ghLog > 0)
+  }
+
+  test("bad --config rejected with every violation listed") {
+    val storeDir = Files.createTempDirectory("graft-cli-store4").toString
+    SyntheticStore.ensureOnDisk(spark, storeDir, 20)
+    val root = Files.createTempDirectory("graft-cli-tables4").toString
+    val args = Seq("fetch", "thingiverse.com", "--store", storeDir,
+      "--table-root", root)
+    val cfgPath = Files.createTempDirectory("graft-cli-cfg4").toString + "/c.yml"
+    Files.write(java.nio.file.Paths.get(cfgPath),
+      "max_error_retries: 0\n".getBytes("UTF-8"))
+    val bad = dispatch(spark,
+      parse(args ++ Seq("--config", cfgPath)).toOption.get)
+    assert(bad.exitCode == 1 &&
+      bad.lines.exists(_.contains("maxErrorRetries must be in [1, 100]")),
+      bad.lines.mkString("; "))
+  }
 }
