@@ -37,7 +37,8 @@ object ImageFunctions {
     else null
 
   def decode(bytes: Array[Byte]): Option[BufferedImage] = {
-    val fmt = if (bytes == null) null else formatByMagic(bytes)
+    if (bytes == null) return None
+    val fmt = formatByMagic(bytes)
     if (fmt == null) return Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     val cache = readerCache.get()
     var reader = cache.get(fmt)

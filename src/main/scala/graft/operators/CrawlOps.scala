@@ -394,8 +394,7 @@ object CrawlOps {
     val okSeq = when(isOk, col("run_seq"))
     val annotated = events
       .withColumn("prev_hash",
-        last(when(isOk, struct(col("content_hash").as("h"))), ignoreNulls = true)
-          .over(w).getField("h"))
+        last(okStruct, ignoreNulls = true).over(w).getField("h"))
       .withColumn("changed",
         isOk && col("prev_hash").isNotNull && col("prev_hash") =!= col("content_hash"))
     val aggs = Seq(

@@ -653,21 +653,37 @@ object CrawlPipeline {
     */
   def startOverHosting(spark: SparkSession, tableRoot: String,
       hostingId: String): Unit = {
+    // the DERIVED summary drops FIRST: a crash after the url_seen rewrite
+    // but before a trailing summary truncate would leave stale summary
+    // rows still marking the reset hosting's units as resolved — the next
+    // run's summary-first exclusion would then silently skip them.
+    // Dropping the summary first is crash-safe in both orders of failure:
+    // worst case the next run pays one full event-log fold (correct, just
+    // uncompacted) until the next compaction rebuilds it.
+    urlSeenSummaryStore(tableRoot).read(spark)
+      .foreach(_ => urlSeenSummaryStore(tableRoot).truncate())
+    // clusterBeforeWrite on every rewrite — same write policy as the
+    // append path (the partition keys are hash-random per task; without
+    // clustering each read task writes a file per partition value)
     def rewrite(store: SnapshotStore, partitionCol: String,
         keep: DataFrame => DataFrame): Unit =
       store.read(spark).foreach { df =>
         val remaining = keep(df)
         if (remaining.isEmpty) store.truncate()
-        else store.replace(spark, remaining, partitionCol)
+        else store.replace(spark, remaining, partitionCol,
+          clusterBeforeWrite = true)
       }
     rewrite(urlSeenStore(tableRoot), "bucket",
       _.filter(col("hosting_id") =!= hostingId))
     rewrite(fetchLogStore(tableRoot), "hosting_id",
       _.filter(col("hosting_id") =!= hostingId))
+    // NOTE scale trade-off: results is partitioned by id_group, so this
+    // predicate cannot prune — resetting one hosting rewrites the other
+    // hostings' payload rows too. At fixture/operator scale that is fine;
+    // a 10^10-row deployment would instead apply a per-hosting tombstone
+    // at read time and fold it into the next compaction.
     rewrite(resultsStore(tableRoot), "id_group",
       _.filter(substring_index(col("unit_path"), "/", 1) =!= hostingId))
-    urlSeenSummaryStore(tableRoot).read(spark)
-      .foreach(_ => urlSeenSummaryStore(tableRoot).truncate())
   }
 
   /** The CrawlingMeta view over this table root's url_seen event log. */

@@ -89,6 +89,9 @@ object BenchExtra {
     val all = stages(spark, sfDir)
     val names =
       if (args.nonEmpty && args(0).nonEmpty) args(0).split(",").toSeq else all.keys.toSeq.sorted
+    val unknown = names.filterNot(all.contains)
+    require(unknown.isEmpty,
+      s"unknown stages: ${unknown.mkString(",")} (known: ${all.keys.toSeq.sorted.mkString(",")})")
     val out = names.map { name =>
       val fn = all(name)
       spark.sparkContext.setJobDescription(s"extra:$name")

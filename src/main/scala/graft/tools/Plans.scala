@@ -31,8 +31,10 @@ object Plans {
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { name =>
-      val fn = graft.SparkEntry.queries(name)
       try {
+        // lookup inside the try: an unknown name prints FAILED and moves
+        // on instead of aborting the whole dump
+        val fn = graft.SparkEntry.queries(name)
         val df = fn(spark, sfDir)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
