@@ -403,7 +403,8 @@ object SparkEntry {
     // ---- platform normalizers + serializers (rows-only; specs assert goldens) ----
     "q_normalize_thingiverse" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val hits = s.read.parquet(s"$d/part.parquet").select(to_json(struct(
+      val hits = graft.operators.ScanFloor(s.read.parquet(s"$d/part.parquet"))
+        .select(to_json(struct(
         col("p_partkey").as("id"), col("p_name").as("name"),
         concat(lit("https://www.thingiverse.com/thing:"), col("p_partkey")).as("public_url"),
         lit("2020-01-02T03:04:05+00:00").as("modified"),
@@ -420,7 +421,8 @@ object SparkEntry {
     "q_normalize_manifest" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
-      val raw = s.read.parquet(s"$d/part.parquet").select(col("p_partkey"))
+      val raw = graft.operators.ScanFloor(
+        s.read.parquet(s"$d/part.parquet").select(col("p_partkey")))
         .as[Long].map(k => (k, graft.fixtures.SyntheticManifests.toml(k)))
         .toDF("k", "content").withColumn("fmt", lit("toml"))
       val p = graft.normalize.Normalizers.manifest(s, raw)
@@ -450,7 +452,8 @@ object SparkEntry {
     "q_normalize_v1" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
-      val raw = s.read.parquet(s"$d/part.parquet").select(col("p_partkey"))
+      val raw = graft.operators.ScanFloor(
+        s.read.parquet(s"$d/part.parquet").select(col("p_partkey")))
         .as[Long].map(k => (k, graft.fixtures.SyntheticManifests.v1Yaml(k)))
         .toDF("k", "content").withColumn("fmt", lit("yaml"))
       val p = graft.normalize.Normalizers.manifest(s, raw)
@@ -474,7 +477,8 @@ object SparkEntry {
     "q_validate_projects" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
-      val raw = s.read.parquet(s"$d/part.parquet").select(col("p_partkey"))
+      val raw = graft.operators.ScanFloor(
+        s.read.parquet(s"$d/part.parquet").select(col("p_partkey")))
         .as[Long].map(k => (k, graft.fixtures.SyntheticManifests.toml(k)))
         .toDF("k0", "content").withColumn("fmt", lit("toml"))
       val p = graft.normalize.Normalizers.manifest(s, raw)
@@ -500,7 +504,8 @@ object SparkEntry {
     "q_rdf_triples" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
-      val hits = s.read.parquet(s"$d/part.parquet").select(to_json(struct(
+      val hits = graft.operators.ScanFloor(s.read.parquet(s"$d/part.parquet"))
+        .select(to_json(struct(
         col("p_partkey").as("id"), col("p_name").as("name"),
         concat(lit("https://www.thingiverse.com/thing:"), col("p_partkey")).as("public_url"),
         lit("2020-01-02T03:04:05+00:00").as("modified"),
@@ -655,7 +660,7 @@ object SparkEntry {
       val nChars = length(col("caption_clean")).cast("long")
       val alpha = length(regexp_replace(col("caption_clean"), "[^A-Za-z]", ""))
         .cast("long")
-      s.read.parquet(dumpDir)
+      graft.operators.ScanFloor(s.read.parquet(dumpDir))
         .select(col("image_id"),
           trim(graft.functions.TextNormalize.normalizeCaptionUdf(col("caption")))
             .as("caption_clean"))

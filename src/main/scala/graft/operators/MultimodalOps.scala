@@ -114,7 +114,7 @@ object MultimodalOps {
     * in Scala: columnar in, one pass, partition-parallel.
     */
   def featurizeImages(spark: SparkSession, storeDf: DataFrame, thumbMaxDim: Int = 16): DataFrame =
-    storeDf
+    graft.operators.ScanFloor(storeDf)
       .withColumn("meta", imageMetaUdf(col("bytes")))
       .withColumn("thumbnail", resizeUdf(thumbMaxDim)(col("bytes")))
       .withColumn("embedding", imageEmbeddingUdf(col("bytes")))
@@ -139,7 +139,7 @@ object MultimodalOps {
   def imageNearDupPairsOf(spark: SparkSession, imagesDf: DataFrame,
       cacheKey: String, maxHamming: Int = 3): DataFrame = {
     val sig = graft.PlanCache.cached(spark, s"img-phash:$cacheKey")(
-      imagesDf.select(col("doc_id"),
+      graft.operators.ScanFloor(imagesDf).select(col("doc_id"),
         ImageFunctions.phash64(col("bytes")).as("phash"))
         .filter(col("phash").isNotNull))
     graft.operators.TextOps.hammingBlockPairs(sig, "phash", maxHamming)
@@ -205,7 +205,7 @@ object MultimodalOps {
     val nChars = length(col("caption_clean")).cast("long")
     val alpha = length(regexp_replace(col("caption_clean"), "[^A-Za-z]", ""))
       .cast("long")
-    storeDf
+    graft.operators.ScanFloor(storeDf)
       .withColumn("meta", imageMetaUdf(col("bytes")))
       .select(col("image_id"),
         col("meta.w").cast("long").as("w"), col("meta.h").cast("long").as("h"),

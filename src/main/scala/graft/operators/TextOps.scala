@@ -201,7 +201,7 @@ object TextOps {
     val words = split(trim(lower(col("text"))), "\\s+")
     val gram = s"concat_ws(' ', slice(words, i, $n))"
     val element = if (hashed) s"xxhash64($gram)" else gram
-    docsDf
+    ScanFloor(docsDf)
       .select(col("doc_id"), words.as("words"))
       .filter(size(col("words")) >= n)
       .select(col("doc_id"),
@@ -280,7 +280,7 @@ object TextOps {
     // interpreted per element (~15× slower per BenchExtra minhash_sig_only)
     // and made every downstream operator drag k+1 attributes through
     // analysis/optimization and codegen.
-    docsDf
+    ScanFloor(docsDf)
       .select(col("doc_id"), words.as("words"))
       .filter(size(col("words")) >= n)
       .select(col("doc_id"),
@@ -545,7 +545,7 @@ object TextOps {
     // output dwarfs the documents. A doc with null text exploded to no
     // rows, hence the isNotNull filter to keep the output row set exact.
     val words = split(trim(lower(col("text"))), "\\s+")
-    docsDf
+    ScanFloor(docsDf)
       .select(col("doc_id"), words.as("words"))
       .filter(col("words").isNotNull)
       .select(col("doc_id"),

@@ -76,7 +76,7 @@ object VectorOps {
            |  0D, (acc, v) -> acc + v)""".stripMargin)
       when(s >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    embDf
+    ScanFloor(embDf)
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
       .select(col("vec_id"), col("emb"), proj.as("bucket"))
   }
@@ -102,7 +102,7 @@ object VectorOps {
     val blockKey = (0 until nBits).map { i =>
       when(expr(s"emb[$i]") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    val emb = embDf
+    val emb = ScanFloor(embDf)
       .withColumn("nrm", norm("emb"))
       .withColumn("block", blockKey)
     val a = emb.select(col("block"), col("vec_id").as("id_a"),
@@ -181,7 +181,7 @@ object VectorOps {
     * FIRST (lowest-index) anchor winning exact ties, deterministically.
     */
   private def ivfListsOf(embDf: DataFrame, anchors: Array[Anchor]): DataFrame =
-    embDf
+    ScanFloor(embDf)
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("nrm", norm("emb"))
       .withColumn("cos_arr", array(anchors.map(cosTo).toSeq: _*))
