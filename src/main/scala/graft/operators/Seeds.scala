@@ -23,7 +23,10 @@ object Seeds {
 
   /** Spark side. Columns: url, seq. */
   def seeds(spark: SparkSession, sfDir: String): DataFrame = {
-    val part = spark.read.parquet(s"$sfDir/part.parquet").select(col("p_partkey").as("k"))
+    // scan floor: the key table is a single tiny split, but every frontier
+    // query funnels these rows through the canonicalize UDF — see ScanFloor
+    val part = ScanFloor(
+      spark.read.parquet(s"$sfDir/part.parquet").select(col("p_partkey").as("k")))
     val kStr = col("k").cast("string")
     def shape(aliasForm: Boolean) = {
       val gh =

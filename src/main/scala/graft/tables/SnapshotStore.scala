@@ -302,7 +302,7 @@ final class SnapshotStore(val root: String) {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file.toUri),
-        new org.apache.hadoop.conf.Configuration()))
+        SnapshotStore.sharedHadoopConf))
     try reader.getRecordCount finally reader.close()
   }
 
@@ -315,6 +315,15 @@ final class SnapshotStore(val root: String) {
 }
 
 object SnapshotStore {
+  /** ONE shared Hadoop conf for footer reads: constructing a Configuration
+    * per file re-parses the default resources (~ms each) — at hundreds of
+    * commit files that was >1 s of serial driver time per commit, a pure
+    * non-scaling cost on every crawl run. Configuration reads are
+    * thread-safe (the .par footer scan only reads it).
+    */
+  private[tables] lazy val sharedHadoopConf =
+    new org.apache.hadoop.conf.Configuration()
+
   /** Loan-pattern walk: NIO directory streams hold an fd until closed. */
   private[tables] def withWalk[A](dir: Path)(f: Iterator[Path] => A): A = {
     val s = Files.walk(dir)
