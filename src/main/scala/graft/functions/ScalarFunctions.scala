@@ -133,10 +133,20 @@ object ScalarFunctions {
   val parsePersonUdf = udf(parsePerson _)
 
   // ---- C17: zlib-deflate + base64 (reference: rdf_serializer.py:827-832) ----
+  // one zlib state per thread, reset per call: Deflater construction runs
+  // deflateInit (a ~256 KB native allocation) — per-row allocation was the
+  // dominant cost of the C17 path at serializer throughput (guide §4.5:
+  // heavyweight state once per task, not per row). reset() restores the
+  // exact fresh-stream state, so the emitted bytes are identical.
+  private val threadDeflater = new ThreadLocal[Deflater] {
+    override def initialValue(): Deflater = new Deflater(9)
+  }
+
   def deflateB64(s: String): String = {
     if (s == null) return null
     val input = s.getBytes(StandardCharsets.UTF_8)
-    val deflater = new Deflater(9)
+    val deflater = threadDeflater.get()
+    deflater.reset()
     deflater.setInput(input)
     deflater.finish()
     val buf = new Array[Byte](math.max(64, input.length + 64))
@@ -145,7 +155,6 @@ object ScalarFunctions {
       val n = deflater.deflate(buf)
       out.write(buf, 0, n)
     }
-    deflater.end()
     Base64.getEncoder.encodeToString(out.toByteArray)
   }
   def inflateB64(s: String): String = {

@@ -420,7 +420,23 @@ object CrawlOps {
     * change (hash differs across the seam) is counted at the right
     * segment's first successful visit.
     */
-  def mergeMetaStates(left: DataFrame, right: DataFrame): DataFrame = {
+  def mergeMetaStates(left: DataFrame, right: DataFrame): DataFrame =
+    mergeMetaStatesImpl(left, right, withResolution = false)
+
+  /** `mergeMetaStates` over FULL summary states (`metaStateWithResolution`
+    * shape): the meta columns merge identically, and the resolution
+    * counters re-aggregate associatively exactly as the exclusion fold does
+    * (perm max-of-max, n_err sum-of-sum; bucket is a pure function of
+    * unit_path — either side's value is the value). This is what makes
+    * compaction INCREMENTAL: new summary = merge(old summary, fold(delta
+    * events)) ≡ fold(all events), so compacting costs the delta, never the
+    * history.
+    */
+  def mergeMetaStatesWithResolution(left: DataFrame, right: DataFrame): DataFrame =
+    mergeMetaStatesImpl(left, right, withResolution = true)
+
+  private def mergeMetaStatesImpl(left: DataFrame, right: DataFrame,
+      withResolution: Boolean): DataFrame = {
     val l = left.columns.filter(_ != "unit_path")
       .foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
     val r = right.columns.filter(_ != "unit_path")
@@ -428,7 +444,7 @@ object CrawlOps {
     val boundary = col("l_last_ok_hash").isNotNull &&
       col("r_first_ok_hash").isNotNull &&
       col("l_last_ok_hash") =!= col("r_first_ok_hash")
-    l.join(r, Seq("unit_path"), "full_outer").select(
+    val metaCols = Seq(
       col("unit_path"),
       (coalesce(col("l_visits"), lit(0L)) + coalesce(col("r_visits"), lit(0L)))
         .as("visits"),
@@ -444,5 +460,12 @@ object CrawlOps {
       coalesce(col("l_first_ok_hash"), col("r_first_ok_hash")).as("first_ok_hash"),
       coalesce(col("l_first_ok_seq"), col("r_first_ok_seq")).as("first_ok_seq"),
       coalesce(col("r_last_ok_hash"), col("l_last_ok_hash")).as("last_ok_hash"))
+    val resolutionCols = if (!withResolution) Seq.empty else Seq(
+      coalesce(col("l_bucket"), col("r_bucket")).as("bucket"),
+      greatest(coalesce(col("l_perm"), lit(0)), coalesce(col("r_perm"), lit(0)))
+        .as("perm"),
+      (coalesce(col("l_n_err"), lit(0L)) + coalesce(col("r_n_err"), lit(0L)))
+        .as("n_err"))
+    l.join(r, Seq("unit_path"), "full_outer").select(metaCols ++ resolutionCols: _*)
   }
 }

@@ -112,12 +112,21 @@ object CrawlPipeline {
       // bucket (partition layout), and the full mergeable CrawlingMeta
       // state: both event-log consumers absorb compacted history
       val summary = graft.operators.CrawlOps.metaStateWithResolution(events)
-      val store = urlSeenSummaryStore(tableRoot)
-      store.replace(spark, summary, "bucket",
-        Map("covered_version" -> coveredVersion), clusterBeforeWrite = true)
-      store.expire(keepLast = 1)
+      replaceSummary(spark, tableRoot, summary, coveredVersion)
       coveredVersion
     }
+  }
+
+  /** Commit a freshly-computed summary state (shared by the full-fold and
+    * incremental compaction paths): one atomic `replace` stamped with the
+    * url_seen version it covers, prior summary files expired right after.
+    */
+  private def replaceSummary(spark: SparkSession, tableRoot: String,
+      summary: DataFrame, coveredVersion: Long): Unit = {
+    val store = urlSeenSummaryStore(tableRoot)
+    store.replace(spark, summary, "bucket",
+      Map("covered_version" -> coveredVersion), clusterBeforeWrite = true)
+    store.expire(keepLast = 1)
   }
 
   /** Seed URL per store id: all SIX platform families by id residue — the
@@ -170,8 +179,25 @@ object CrawlPipeline {
     * store's image_id encodes the payload id; the platform family comes
     * from the id residue). Seeds are (url, seq=id).
     */
+  /** The lightweight key projection of a payload store (guide §8: every
+    * decision pass reads small rows; only the decode/join stage touches
+    * payload bytes). Written by `ensureBucketedStore` as part of the same
+    * one-time ingest prep that builds the bucketed byte layout; when
+    * present, the frontier scan reads ~50 bytes/row instead of splitting
+    * the multi-GB payload files into hundreds of tasks to extract two
+    * columns. Identical rows either way — it is a projection of the store,
+    * not a computed result.
+    */
+  def storeKeysDir(storeDir: String): String =
+    storeDir.stripSuffix("/") + "_keys"
+
   def frontier(spark: SparkSession, storeDir: String): DataFrame = {
-    val ids = spark.read.parquet(storeDir)
+    val keysDir = storeKeysDir(storeDir)
+    val src =
+      if (new java.io.File(s"$keysDir/_SUCCESS").exists())
+        spark.read.parquet(keysDir)
+      else spark.read.parquet(storeDir)
+    val ids = src
       .select(regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long").as("id"),
         // payload fingerprint delivered with the fetch — drives the
         // CrawlingMeta change detection on re-visits (data_set.py:17-39)
@@ -244,6 +270,21 @@ object CrawlPipeline {
   def ensureBucketedStore(spark: SparkSession, storeDir: String): String = {
     val dir = storeDir.stripSuffix("/") + "_bucketed"
     val tbl = storeTableName(dir)
+    // key projection sidecar (same prep step, same write-once idempotency):
+    // a few small files the frontier scan reads instead of splitting the
+    // payload files into hundreds of byte-sized tasks to extract two
+    // columns. Sharded to the session's parallelism so the scan (and the
+    // per-row URL derivation on top of it) still parallelizes — a single
+    // file would serialize the frontier parse into one task, which is the
+    // exact failure mode the sidecar exists to avoid. ~10^-4 of the store
+    // bytes; at 10^10 rows the ingest shards it like any columnar table.
+    val keysDir = storeKeysDir(storeDir)
+    if (!new java.io.File(s"$keysDir/_SUCCESS").exists()) synchronized {
+      if (!new java.io.File(s"$keysDir/_SUCCESS").exists())
+        spark.read.parquet(storeDir).select(col("image_id"), col("phash"))
+          .repartition(math.max(spark.sparkContext.defaultParallelism, 16))
+          .write.mode("overwrite").parquet(keysDir)
+    }
     if (!spark.catalog.tableExists(tbl)) synchronized {
       if (!spark.catalog.tableExists(tbl)) {
         if (new java.io.File(s"$dir/_SUCCESS").exists()) {
@@ -588,11 +629,15 @@ object CrawlPipeline {
       .withColumn("run_seq", lit(sliceId + 1))
     val snap = timed("url_seen append")(seen.append(spark, seenRows,
       "bucket", statusCounts, clusterBeforeWrite = true))
-    // merge this run's keys into the per-bucket Bloom files and stamp the
-    // covered url_seen version (a crash before the stamp → rebuild next run)
-    timed("bloom update")(seenFilters.update(spark,
+    // the filter merge and the compaction below are independent post-commit
+    // maintenance on disjoint state (per-bucket filter files vs the summary
+    // table), each crash-safe on its own (a lost filter stamp → reconcile
+    // rebuild next run; a lost summary → next compaction), so they run as
+    // concurrent jobs — the serial tail of every run shrinks by the
+    // smaller of the two.
+    val bloomF = Future(timed("bloom update")(seenFilters.update(spark,
       seenRows.select(col("bucket"), col("url_hash")),
-      "bucket", "url_hash", bloomDir, snap.version))
+      "bucket", "url_hash", bloomDir, snap.version)))
 
     // auto-compaction policy: events appended since the summary's covered
     // version, counted from snapshot-manifest metrics alone (no table
@@ -605,8 +650,32 @@ object CrawlPipeline {
       val deltaRows = ((covered + 1) to snap.version)
         .map(v => seen.readSnapshot(v).metrics.getOrElse("commit_rows", 0L)).sum
       if (deltaRows > autoCompactAlpha * math.max(1L, summaryRows))
-        timed("auto compact")(compactUrlSeen(spark, tableRoot))
+        timed("auto compact") {
+          // INCREMENTAL compaction: this run's events are still cached (the
+          // seenRows projection of `log`), so when the summary already
+          // covers everything before this commit — or this commit IS the
+          // whole event log — the new summary folds only this run's events
+          // and merges with the stored state (`mergeMetaStatesWithResolution`,
+          // associative re-aggregation). Compaction cost is then ∝ this
+          // run's events, never the table's history — the maintenance twin
+          // of the summary-first exclusion fold. Any other gap shape
+          // (skipped compactions, a start-over rewrite, a pre-widening
+          // summary schema) falls back to the full event-log fold.
+          val runState = graft.operators.CrawlOps.metaStateWithResolution(seenRows)
+          if (snap.parentVersion == -1L)
+            replaceSummary(spark, tableRoot, runState, snap.version)
+          else summaryWithCovered(spark, tableRoot) match {
+            case Some((summaryDf, c)) if c == snap.parentVersion &&
+                summaryDf.columns.contains("visits") =>
+              replaceSummary(spark, tableRoot,
+                graft.operators.CrawlOps.mergeMetaStatesWithResolution(
+                  summaryDf, runState),
+                snap.version)
+            case _ => compactUrlSeen(spark, tableRoot)
+          }
+        }
     }
+    Await.result(bloomF, Duration.Inf)
 
     log.unpersist()
     RunSummary(

@@ -67,6 +67,60 @@ object BenchExtra {
         spark.read.parquet(s"/tmp/graft_bench_store_${n}_px160")
           .select(col("image_id"),
             graft.functions.ImageFunctions.phash64(col("bytes")).as("p"))
+      }),
+      // the crawl run's pre-decode phases in isolation (the "status counts"
+      // materialization of CrawlPipeline.run): frontier scan alone, then
+      // frontier + fetch-stage window/fold
+      "crawl_frontier_only" -> (() => {
+        val n = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "300000")
+        val storeDir = s"/tmp/graft_bench_store_${n}_px160"
+        graft.pipeline.CrawlPipeline.ensureBucketedStore(spark, storeDir)
+        graft.pipeline.CrawlPipeline.frontier(spark, storeDir)
+      }),
+      // q_minhash_lsh warm-run decomposition (sig cache built by the first
+      // repeat): band buckets alone, candidates (self-join + distinct),
+      // then the full verify chain
+      "mh_buckets" -> (() => {
+        val docs = graft.PlanCache.memo(spark, s"planted-neardup:$d")(
+          graft.fixtures.PlantedFixtures.nearDupDocs(spark, d))
+        val sig = graft.PlanCache.cached(spark, s"minhash-sig:planted:$d:64")(
+          graft.operators.TextOps.minhashSignaturesOf(docs, 64))
+        val bandCols = (0 until 16).map { b =>
+          val cols = (0 until 4).map(r => col("mh").getItem(b * 4 + r))
+          struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+        }
+        sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      }),
+      "mh_cand" -> (() => {
+        val docs = graft.PlanCache.memo(spark, s"planted-neardup:$d")(
+          graft.fixtures.PlantedFixtures.nearDupDocs(spark, d))
+        val sig = graft.PlanCache.cached(spark, s"minhash-sig:planted:$d:64")(
+          graft.operators.TextOps.minhashSignaturesOf(docs, 64))
+        val bandCols = (0 until 16).map { b =>
+          val cols = (0 until 4).map(r => col("mh").getItem(b * 4 + r))
+          struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+        }
+        val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+      }),
+      "mh_full" -> (() => {
+        val docs = graft.PlanCache.memo(spark, s"planted-neardup:$d")(
+          graft.fixtures.PlantedFixtures.nearDupDocs(spark, d))
+        graft.operators.TextOps.minhashLshOf(spark, docs, s"planted:$d")
+      }),
+      "crawl_fetch_stage" -> (() => {
+        val n = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "300000")
+        val storeDir = s"/tmp/graft_bench_store_${n}_px160"
+        val f = graft.pipeline.CrawlPipeline.robotsAllowed(
+          graft.pipeline.CrawlPipeline.frontier(spark, storeDir))
+        val salts = graft.pipeline.CrawlPipeline.autoSalts(f)
+        graft.fetch.FetchStage.run(spark,
+          graft.fetch.FetchStage.toTasks(spark, f), salts = salts).toDF()
       })
     )
   }

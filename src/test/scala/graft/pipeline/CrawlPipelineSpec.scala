@@ -241,6 +241,57 @@ class CrawlPipelineSpec extends SparkTestBase {
     assert(CrawlPipeline.run(spark, bigStore, root, Some(500L)).attempted == 0)
   }
 
+  test("incremental auto-compaction: the merged summary equals the full " +
+      "event-log fold on EVERY column (both the first-commit and " +
+      "summary+this-run merge branches)") {
+    val bigStore = Files.createTempDirectory("graft-store-inc").toString
+    SyntheticStore.ensureOnDisk(spark, bigStore, 900L)
+    val root = freshRoot()
+    // tiny alpha so compaction fires on every run: run 1 exercises the
+    // this-commit-is-the-whole-log branch, runs 2.. the summary+run merge
+    // branch (covered == parentVersion on each).
+    val runs = CrawlPipeline.runUntilDone(spark, bigStore, root, 250L,
+      autoCompactAlpha = 0.01)
+    assert(runs.size > 2, "need multiple slices to exercise the merge branch")
+    val summarySnap = CrawlPipeline.urlSeenSummaryStore(root).currentSnapshot.get
+    val covered = summarySnap.metrics("covered_version")
+    val seen = CrawlPipeline.urlSeenStore(root)
+    // every non-empty commit is covered (the final exhaustion-probe run
+    // appends an empty commit that never trips the row-count policy)
+    val uncoveredRows = ((covered + 1) to seen.currentVersion.get)
+      .map(v => seen.readSnapshot(v).metrics.getOrElse("commit_rows", 0L)).sum
+    assert(uncoveredRows == 0L,
+      s"per-run compaction left $uncoveredRows event rows uncovered")
+    val cols = Seq("unit_path", "visits", "first_visited", "last_visited",
+      "last_successfully_visited", "changes", "last_detected_change",
+      "first_ok_hash", "first_ok_seq", "last_ok_hash", "bucket", "perm", "n_err")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => cols.map(c => Option(r.getAs[Any](c)).map(_.toString).orNull))
+        .toSet
+    val fromSummary = rows(CrawlPipeline.urlSeenSummaryStore(root).read(spark).get)
+    val fullFold = rows(graft.operators.CrawlOps.metaStateWithResolution(
+      seen.read(spark).get))
+    assert(fromSummary == fullFold,
+      "incremental summary diverged from the full event-log fold")
+  }
+
+  test("frontier key sidecar: identical frontier rows with and without the " +
+      "projection written by ensureBucketedStore") {
+    val dir = Files.createTempDirectory("graft-store-keys").toString
+    SyntheticStore.ensureOnDisk(spark, dir, 300L)
+    def frontierRows() = CrawlPipeline.frontier(spark, dir)
+      .select("id", "content_hash", "url", "seq", "unit_path", "hosting_id",
+        "priority", "url_hash", "bucket")
+      .collect().map(_.toSeq).toSet
+    val before = frontierRows()
+    assert(!new java.io.File(s"${CrawlPipeline.storeKeysDir(dir)}/_SUCCESS").exists())
+    CrawlPipeline.ensureBucketedStore(spark, dir)
+    assert(new java.io.File(s"${CrawlPipeline.storeKeysDir(dir)}/_SUCCESS").exists(),
+      "prep must write the key projection")
+    assert(frontierRows() == before, "sidecar-backed frontier rows diverged")
+  }
+
   test("cuckoo seen-filter kind: e2e state identical to bloom; targeted " +
       "invalidation re-fetches exactly the invalidated units") {
     import graft.frontier.{CuckooSeen, SeenFilters}
