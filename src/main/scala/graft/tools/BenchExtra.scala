@@ -113,6 +113,30 @@ object BenchExtra {
           graft.fixtures.PlantedFixtures.nearDupDocs(spark, d))
         graft.operators.TextOps.minhashLshOf(spark, docs, s"planted:$d")
       }),
+      // results-append decomposition: everything the append computes EXCEPT
+      // the parquet write (payload join + caption normalize + phash) — the
+      // write cost is the full-run phase time minus this
+      "crawl_results_nowrite" -> (() => {
+        val n = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "300000")
+        val storeDir = s"/tmp/graft_bench_store_${n}_px160"
+        graft.pipeline.CrawlPipeline.ensureBucketedStore(spark, storeDir)
+        val f = graft.pipeline.CrawlPipeline.robotsAllowed(
+          graft.pipeline.CrawlPipeline.frontier(spark, storeDir))
+        val salts = graft.pipeline.CrawlPipeline.autoSalts(f)
+        val log = graft.fetch.FetchStage.run(spark,
+          graft.fetch.FetchStage.toTasks(spark, f), salts = salts).toDF()
+        val fetched = log.filter(col("status") === "ok")
+          .select(col("unit_path"), col("id"), col("pos"), col("scheduled_ms"))
+        graft.pipeline.CrawlPipeline.payloadJoin(spark, storeDir, fetched, None)
+          .withColumn("caption",
+            graft.functions.TextNormalize.normalizeCaptionUdf(col("caption")))
+          .withColumn("phash_check",
+            graft.functions.ImageFunctions.phash64(col("bytes")))
+          .withColumn("id_group", (col("id") / 10000).cast("long"))
+          .select(col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"),
+            col("caption"), col("phash"), col("phash_check"), col("unit_path"),
+            col("id_group"))
+      }),
       "crawl_fetch_stage" -> (() => {
         val n = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "300000")
         val storeDir = s"/tmp/graft_bench_store_${n}_px160"
