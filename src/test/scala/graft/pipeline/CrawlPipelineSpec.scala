@@ -274,6 +274,56 @@ class CrawlPipelineSpec extends SparkTestBase {
       seen.read(spark).get))
     assert(fromSummary == fullFold,
       "incremental summary diverged from the full event-log fold")
+
+    // cross-seam content change THROUGH the merge-branch write: mutate the
+    // store, revisit with a tiny alpha (compaction fires on the revisit
+    // commit, covered == parentVersion), and the merged summary must still
+    // equal the full fold — including the boundary change/visit counters.
+    val mutatedDir = Files.createTempDirectory("graft-store-inc-mut").toString
+    spark.read.parquet(bigStore)
+      .withColumn("mid",
+        regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long"))
+      .withColumn("phash",
+        when(pmod(col("mid"), lit(10)) === 0, col("phash") + 1)
+          .otherwise(col("phash")))
+      .drop("mid")
+      .write.mode("overwrite").parquet(mutatedDir)
+    CrawlPipeline.run(spark, mutatedDir, root, revisit = true,
+      autoCompactAlpha = 0.01)
+    val mutSummary = rows(CrawlPipeline.urlSeenSummaryStore(root).read(spark).get)
+    val mutFold = rows(graft.operators.CrawlOps.metaStateWithResolution(
+      seen.read(spark).get))
+    assert(mutSummary == mutFold,
+      "incremental summary diverged after a revisit with content changes")
+    val changed = CrawlPipeline.urlSeenSummaryStore(root).read(spark).get
+      .filter(col("changes") > 0).count()
+    assert(changed > 0, "the mutation must surface as cross-seam changes")
+    // a SECOND mutation + revisit: the prior compaction covered the revisit
+    // commit exactly, so this one's covered == parentVersion — the merge
+    // branch itself now carries a fresh cross-seam change
+    val mutatedDir2 = Files.createTempDirectory("graft-store-inc-mut2").toString
+    spark.read.parquet(mutatedDir)
+      .withColumn("mid",
+        regexp_extract(col("image_id"), "^thing:(\\d+)/", 1).cast("long"))
+      .withColumn("phash",
+        when(pmod(col("mid"), lit(7)) === 3, col("phash") + 1)
+          .otherwise(col("phash")))
+      .drop("mid")
+      .write.mode("overwrite").parquet(mutatedDir2)
+    val coveredBefore = CrawlPipeline.urlSeenSummaryStore(root)
+      .currentSnapshot.get.metrics("covered_version")
+    assert(coveredBefore == seen.currentVersion.get,
+      "precondition: the fallback compaction must cover the revisit commit")
+    CrawlPipeline.run(spark, mutatedDir2, root, revisit = true,
+      autoCompactAlpha = 0.01)
+    val mutSummary2 = rows(CrawlPipeline.urlSeenSummaryStore(root).read(spark).get)
+    val mutFold2 = rows(graft.operators.CrawlOps.metaStateWithResolution(
+      seen.read(spark).get))
+    assert(mutSummary2 == mutFold2,
+      "merge-branch summary diverged across a cross-seam content change")
+    val changed2 = CrawlPipeline.urlSeenSummaryStore(root).read(spark).get
+      .filter(col("changes") > 1).count()
+    assert(changed2 > 0, "the second mutation must add merge-seam changes")
   }
 
   test("frontier key sidecar: identical frontier rows with and without the " +
